@@ -1,0 +1,349 @@
+"""Editing controllers as pytrees of precomputed schedules.
+
+The reference implements each editing algorithm as a stateful Python object
+invoked from monkey-patched attention forwards (p2p/model/register.py:48,
+masactrl/model/register.py:46-48, pnp/model/register.py:41-52,
+pix2pix-zero/model/attention_control.py:46). Those callbacks cannot exist
+inside a jitted XLA program, so here every controller decision — a function of
+(step, layer, is_cross, resolution) plus small precomputed tensors — becomes
+data:
+
+* a ``*Control`` pytree holds full-run tables (per-step alphas, gates),
+* ``at_step(i)`` slices out a ``*Step`` pytree inside the ``lax.scan`` body,
+* the UNet's attention sites query the step pytree for
+  - a ``SelfAttnPlan`` (batch-index Q/K/V remap fed to the flash kernel),
+  - a cross-attention probability edit,
+  - whether/what to record (attention stores),
+  and ResNet blocks query ``resnet_hook`` (PnP feature injection).
+
+Batch layout everywhere: B = 2P, ``[u_0..u_{P-1}, c_0..c_{P-1}]`` with the
+source prompt at index 0 of each CFG half — identical to the reference's
+``torch.cat([uncond, cond])`` convention, so "edit only the conditional half"
+(p2p/model/attention_base.py:22) means batch indices > P.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from image_editing_framework_tpu.core.config import (
+    MasaCtrlConfig,
+    P2PConfig,
+    PnPConfig,
+)
+from image_editing_framework_tpu.ops import schedules, seq_aligner
+from image_editing_framework_tpu.ops.attention import AttnSite, SelfAttnPlan
+
+
+# ---------------------------------------------------------------------------
+# No-op control
+
+
+@struct.dataclass
+class NoneStep:
+    def self_plan(self, site: AttnSite, batch: int) -> Optional[SelfAttnPlan]:
+        return None
+
+    def edit_cross(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
+        return probs
+
+    def record_key(self, site: AttnSite) -> Optional[str]:
+        return None
+
+    def record(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def resnet_hook(self, key: str, h: jnp.ndarray) -> jnp.ndarray:
+        return h
+
+
+@struct.dataclass
+class NoneControl(NoneStep):
+    def at_step(self, i) -> NoneStep:
+        del i
+        return NoneStep()
+
+
+# ---------------------------------------------------------------------------
+# Prompt-to-Prompt
+
+_RES16_SEQ = 256  # 16x16 latent tokens: the resolution P2P self-replace and
+# LocalBlend maps operate at (p2p/model/attention_base.py:132, ptp_utils.py:22).
+
+
+@struct.dataclass
+class P2PStep(NoneStep):
+    """One denoising step of P2P editing (replace / refine / reweight unified).
+
+    Cross-attention (p2p/model/attention_base.py:113-125 + attention_control.py):
+      inner = (base @ mapper) * tok_alpha + target * (1 - tok_alpha)   # refine
+      inner = inner * equalizer                                         # reweight
+      new   = inner * alpha_words + target * (1 - alpha_words)          # window
+    Self-attention at <=16^2 tokens inside the self-replace window: target
+    probabilities are the source's (Q,K from source; own V).
+    """
+
+    mapper: jnp.ndarray  # (P-1, 77, 77)
+    tok_alpha: jnp.ndarray  # (P-1, 77)
+    equalizer: jnp.ndarray  # (P-1, 77)
+    alpha_words: jnp.ndarray  # (P-1, 77) — this step
+    self_gate: jnp.ndarray  # () bool — this step
+    num_prompts: int = struct.field(pytree_node=False, default=2)
+    record_blend: bool = struct.field(pytree_node=False, default=False)
+
+    def self_plan(self, site: AttnSite, batch: int) -> Optional[SelfAttnPlan]:
+        if site.seq_len > _RES16_SEQ:
+            return None
+        p = self.num_prompts
+        iota = jnp.arange(batch, dtype=jnp.int32)
+        idx = jnp.where(self.self_gate & (iota > p), p, iota)
+        return SelfAttnPlan(
+            q_idx=idx,
+            k_idx=idx[:, None],
+            v_idx=iota[:, None],
+            valid=jnp.ones((batch, 1), bool),
+        )
+
+    def edit_cross(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
+        p = self.num_prompts
+        base = probs[p]  # conditional source (H, N, 77)
+        mapped = jnp.einsum("hnw,pwv->phnv", base, self.mapper)
+        tgt = probs[p + 1 :]
+        ta = self.tok_alpha[:, None, None, :]
+        inner = (mapped * ta + tgt * (1.0 - ta)) * self.equalizer[:, None, None, :]
+        aw = self.alpha_words[:, None, None, :]
+        return probs.at[p + 1 :].set(inner * aw + tgt * (1.0 - aw))
+
+    def record_key(self, site: AttnSite) -> Optional[str]:
+        if self.record_blend and site.is_cross and site.seq_len == _RES16_SEQ:
+            return site.key
+        return None
+
+    def record(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
+        # (2P, H, 256, 77) -> mean over CFG halves and heads -> (P, 256, 77),
+        # mirroring LocalBlend's reshape(P, -1, 1, 16, 16, 77).mean(1)
+        # (p2p/model/ptp_utils.py:23-25).
+        p = self.num_prompts
+        h = probs.shape[1]
+        return probs.reshape(2, p, h, probs.shape[2], 77).mean(axis=(0, 2))
+
+
+@struct.dataclass
+class P2PControl:
+    mapper: jnp.ndarray
+    tok_alpha: jnp.ndarray
+    equalizer: jnp.ndarray
+    cross_alpha: jnp.ndarray  # (num_steps + 1, P-1, 77)
+    self_gate: jnp.ndarray  # (num_steps,)
+    num_prompts: int = struct.field(pytree_node=False, default=2)
+    record_blend: bool = struct.field(pytree_node=False, default=False)
+
+    def at_step(self, i) -> P2PStep:
+        return P2PStep(
+            mapper=self.mapper,
+            tok_alpha=self.tok_alpha,
+            equalizer=self.equalizer,
+            alpha_words=self.cross_alpha[i],
+            self_gate=self.self_gate[i],
+            num_prompts=self.num_prompts,
+            record_blend=self.record_blend,
+        )
+
+
+def build_p2p_control(
+    prompts: Sequence[str],
+    tokenizer,
+    num_steps: int,
+    cfg: P2PConfig,
+    record_blend: bool = False,
+) -> P2PControl:
+    """Assemble the P2P control from prompts (host-side, trace time)."""
+    p = len(prompts)
+    if cfg.edit_type == "replace":
+        mapper = seq_aligner.get_replacement_mapper(prompts, tokenizer)
+        tok_alpha = np.ones((p - 1, seq_aligner.MAX_LEN), np.float32)
+    elif cfg.edit_type == "refine":
+        gather, tok_alpha = seq_aligner.get_refinement_mapper(prompts, tokenizer)
+        mapper = np.stack([seq_aligner.refinement_matrix(g) for g in gather])
+    else:
+        raise ValueError(f"unknown edit_type: {cfg.edit_type}")
+    if cfg.eq_words:
+        eq = seq_aligner.get_equalizer(
+            prompts[-1], cfg.eq_words, cfg.eq_values, tokenizer
+        )
+        # reference applies one equalizer row per target prompt; broadcast.
+        equalizer = np.broadcast_to(eq[:1], (p - 1, seq_aligner.MAX_LEN)).copy()
+    else:
+        equalizer = np.ones((p - 1, seq_aligner.MAX_LEN), np.float32)
+    alpha = schedules.cross_replace_alpha(
+        prompts, num_steps, cfg.cross_replace_steps, tokenizer
+    )
+    gate = schedules.self_replace_gate(cfg.self_replace_steps, num_steps)
+    return P2PControl(
+        mapper=jnp.asarray(mapper),
+        tok_alpha=jnp.asarray(tok_alpha),
+        equalizer=jnp.asarray(equalizer),
+        cross_alpha=jnp.asarray(alpha),
+        self_gate=jnp.asarray(gate),
+        num_prompts=p,
+        record_blend=record_blend,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MasaCtrl
+
+
+@struct.dataclass
+class MasaCtrlStep(NoneStep):
+    """Mutual self-attention: at gated (step, layer), every element of each
+    CFG half attends to the half's *source* K/V
+    (masactrl/model/attention_control.py:59-66); "union" mode instead gives
+    target elements concat([source, self]) K/V (:102-103)."""
+
+    layer_gate: jnp.ndarray  # (L,) bool — this step
+    num_prompts: int = struct.field(pytree_node=False, default=2)
+    union: bool = struct.field(pytree_node=False, default=False)
+
+    def self_plan(self, site: AttnSite, batch: int) -> Optional[SelfAttnPlan]:
+        p = self.num_prompts
+        gate = self.layer_gate[site.layer]
+        iota = jnp.arange(batch, dtype=jnp.int32)
+        half_src = (iota // p) * p
+        if not self.union:
+            kv = jnp.where(gate, half_src, iota)
+            return SelfAttnPlan(
+                q_idx=iota,
+                k_idx=kv[:, None],
+                v_idx=kv[:, None],
+                valid=jnp.ones((batch, 1), bool),
+            )
+        k_idx = jnp.stack([half_src, iota], axis=1)  # (B, 2)
+        is_target = (iota % p) != 0
+        valid = jnp.stack(
+            [gate & is_target, jnp.ones((batch,), bool)], axis=1
+        )
+        return SelfAttnPlan(q_idx=iota, k_idx=k_idx, v_idx=k_idx, valid=valid)
+
+
+@struct.dataclass
+class MasaCtrlControl:
+    gate: jnp.ndarray  # (num_steps, L)
+    num_prompts: int = struct.field(pytree_node=False, default=2)
+    union: bool = struct.field(pytree_node=False, default=False)
+
+    def at_step(self, i) -> MasaCtrlStep:
+        return MasaCtrlStep(
+            layer_gate=self.gate[i], num_prompts=self.num_prompts, union=self.union
+        )
+
+
+def build_masactrl_control(
+    num_steps: int,
+    num_layers: int,
+    cfg: MasaCtrlConfig,
+    num_prompts: int = 2,
+) -> MasaCtrlControl:
+    gate = schedules.masactrl_gate(
+        num_steps, num_layers, start_step=cfg.start_step, start_layer=cfg.start_layer
+    )
+    return MasaCtrlControl(
+        gate=jnp.asarray(gate), num_prompts=num_prompts, union=(cfg.mode == "union")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Plug-and-Play
+
+# Injection gathers the *conditional source* (index 2 of [u_s, u_t, c_s, c_t])
+# into both target branches (pnp/model/register.py:46-52, :163-168).
+_PNP_INJECT_IDX = (0, 2, 2, 2)
+
+
+@struct.dataclass
+class PnPStep(NoneStep):
+    qk_gate: jnp.ndarray  # () bool
+    conv_gate: jnp.ndarray  # () bool
+    attn_layers: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    conv_keys: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+
+    def self_plan(self, site: AttnSite, batch: int) -> Optional[SelfAttnPlan]:
+        if site.layer not in self.attn_layers:
+            return None
+        assert batch == 4, "PnP operates on [u_src, u_tgt, c_src, c_tgt]"
+        iota = jnp.arange(batch, dtype=jnp.int32)
+        inject = jnp.asarray(_PNP_INJECT_IDX, jnp.int32)
+        idx = jnp.where(self.qk_gate, inject, iota)
+        return SelfAttnPlan(
+            q_idx=idx,
+            k_idx=idx[:, None],
+            v_idx=iota[:, None],
+            valid=jnp.ones((batch, 1), bool),
+        )
+
+    def resnet_hook(self, key: str, h: jnp.ndarray) -> jnp.ndarray:
+        if key not in self.conv_keys:
+            return h
+        inject = jnp.asarray(_PNP_INJECT_IDX, jnp.int32)
+        return jnp.where(self.conv_gate, h[inject], h)
+
+
+@struct.dataclass
+class PnPControl:
+    qk_gate: jnp.ndarray  # (num_steps,)
+    conv_gate: jnp.ndarray  # (num_steps,)
+    attn_layers: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    conv_keys: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+
+    def at_step(self, i) -> PnPStep:
+        return PnPStep(
+            qk_gate=self.qk_gate[i],
+            conv_gate=self.conv_gate[i],
+            attn_layers=self.attn_layers,
+            conv_keys=self.conv_keys,
+        )
+
+
+def build_pnp_control(
+    num_steps: int,
+    cfg: PnPConfig,
+    attn_layers: Tuple[int, ...],
+    conv_keys: Tuple[str, ...],
+) -> PnPControl:
+    qk, conv = schedules.pnp_gates(num_steps, cfg.pnp_attn_t, cfg.pnp_f_t)
+    return PnPControl(
+        qk_gate=jnp.asarray(qk),
+        conv_gate=jnp.asarray(conv),
+        attn_layers=attn_layers,
+        conv_keys=conv_keys,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pix2pix-zero
+
+
+@struct.dataclass
+class P2ZStep(NoneStep):
+    """Records every cross-attention probability map (both passes of
+    pix2pix-zero need them: pass 1 stores references, pass 2 differentiates
+    the L2 distance to them — pix2pix-zero/model/sd_utils.py:104-110,166-172)."""
+
+    store_dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.bfloat16)
+
+    def record_key(self, site: AttnSite) -> Optional[str]:
+        return site.key if site.is_cross else None
+
+    def record(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
+        return probs.astype(self.store_dtype)
+
+
+@struct.dataclass
+class P2ZControl(P2ZStep):
+    def at_step(self, i) -> P2ZStep:
+        del i
+        return P2ZStep(store_dtype=self.store_dtype)

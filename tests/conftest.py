@@ -7,7 +7,14 @@ virtual devices so multi-chip sharding tests run without TPU hardware.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the ambient environment may pin JAX_PLATFORMS to a TPU platform,
+# and the TPU plugin ignores the env var — use jax.config instead).
+# Set IEF_TEST_TPU=1 to run the suite on real TPU hardware instead.
+if not os.environ.get("IEF_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
