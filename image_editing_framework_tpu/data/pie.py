@@ -1,0 +1,106 @@
+"""PIE-Bench dataset plumbing.
+
+Reference: */dataset/pie.py — reads ``mapping_file.json`` (dict of records
+keyed by image id), filters categories by image_path prefix, strips the
+``[`` / ``]`` edit markers from prompts. The torch ``Dataset``/``DataLoader``
+machinery is replaced by a plain list + shard iterator: editors are pure
+functions, so sweep parallelism happens by sharding items across hosts/chips
+rather than via loader workers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+# The reference sweep skips category 5 (p2p/test.py:114).
+DEFAULT_CATEGORIES = (0, 1, 2, 3, 4, 6, 7, 8, 9)
+
+
+@dataclasses.dataclass(frozen=True)
+class PIEItem:
+    key: str  # image id / relative path without extension
+    image_path: str
+    source_prompt: str
+    target_prompt: str
+    blended_words: str = ""
+    mask: Optional[np.ndarray] = None
+
+
+class PIE:
+    """PIE-Bench items, optionally filtered to one category."""
+
+    def __init__(self, dataset_path: str, category: Optional[int] = None):
+        self.data_path = os.path.join(dataset_path, "annotation_images")
+        with open(os.path.join(dataset_path, "mapping_file.json")) as f:
+            mapping = json.load(f)
+        self.items: List[PIEItem] = []
+        for key, rec in mapping.items():
+            rel = rec["image_path"]
+            if category is not None and not rel.startswith(str(category)):
+                continue
+            self.items.append(
+                PIEItem(
+                    key=os.path.splitext(rel)[0],
+                    image_path=os.path.join(self.data_path, rel),
+                    source_prompt=rec["original_prompt"].replace("[", "").replace("]", ""),
+                    target_prompt=rec["editing_prompt"].replace("[", "").replace("]", ""),
+                    blended_words=rec.get("blended_words", ""),
+                )
+            )
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, i: int) -> PIEItem:
+        return self.items[i]
+
+    def shard(self, index: int, count: int) -> List[PIEItem]:
+        """Contiguous shard for multi-host sweeps."""
+        return self.items[index::count]
+
+
+class PIEPrecomputedInversion(PIE):
+    """PIE items with precomputed inversion artifacts
+    (reference PIE_NTI_Inversion, p2p/dataset/pie.py:25-51; artifacts are
+    .npz here instead of .pt).
+
+    Layout: <inversion_path>/<image_key>/inversion.npz with arrays
+    ``latent`` (1,h,w,4) and ``uncond_seq`` (S,77,D).
+    """
+
+    def __init__(self, dataset_path: str, inversion_path: str,
+                 category: Optional[int] = None):
+        super().__init__(dataset_path, category)
+        self.inversion_path = inversion_path
+        missing = [
+            it.key
+            for it in self.items
+            if not os.path.exists(self._artifact(it))
+        ]
+        if missing:
+            raise ValueError(
+                f"The inversion files are not complete (missing {missing[:5]}...)"
+            )
+
+    def _artifact(self, item: PIEItem) -> str:
+        return os.path.join(self.inversion_path, item.key, "inversion.npz")
+
+    def load_inversion(self, item: PIEItem):
+        data = np.load(self._artifact(item))
+        return data["latent"], data.get("uncond_seq")
+
+
+def save_inversion(inversion_path: str, key: str, latent, uncond_seq=None) -> None:
+    """Producer side of the precomputed-inversion cache (the reference ships
+    only the consumer; p2p/test.py sets inversion_path=None)."""
+    d = os.path.join(inversion_path, key)
+    os.makedirs(d, exist_ok=True)
+    arrays = {"latent": np.asarray(latent)}
+    if uncond_seq is not None:
+        arrays["uncond_seq"] = np.asarray(uncond_seq)
+    np.savez(os.path.join(d, "inversion.npz"), **arrays)

@@ -1,0 +1,177 @@
+"""Model bundle: tokenizer + text encoder(s) + UNet + VAE + scheduler.
+
+Replaces the reference's diffusers ``StableDiffusionPipeline`` /
+``StableDiffusionXLPipeline`` objects (loaded at p2p/edit_real.py:71-98).
+All compute methods are pure functions over explicit params so the editors
+can jit/scan over them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_editing_framework_tpu.core.scheduler import DDIMSchedule, make_ddim_schedule
+from image_editing_framework_tpu.models.clip import CLIPTextModel
+from image_editing_framework_tpu.models.unet import UNet2DCondition
+from image_editing_framework_tpu.models.vae import AutoencoderKL
+
+
+@dataclasses.dataclass
+class SDPipeline:
+    """A loaded Stable Diffusion model family instance.
+
+    model_type: 'sd' (1.4/1.5/2.1) or 'xl' (SDXL base/refiner).
+    """
+
+    model_type: str
+    unet: UNet2DCondition
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    text_encoder: CLIPTextModel
+    text_params: Any
+    tokenizer: Any
+    scheduler: DDIMSchedule
+    text_encoder_2: Optional[CLIPTextModel] = None
+    text_params_2: Any = None
+    tokenizer_2: Any = None
+    dtype: Any = jnp.float32
+
+    # ------------------------------------------------------------------ text
+
+    def _token_ids(self, prompts: Sequence[str], tokenizer=None) -> jnp.ndarray:
+        from image_editing_framework_tpu.models.tokenizer import pad_token_ids
+
+        tok = tokenizer or self.tokenizer
+        return jnp.asarray(pad_token_ids(tok, list(prompts)))
+
+    def encode_prompts_sd(self, prompts: Sequence[str]) -> jnp.ndarray:
+        """(2P, 77, D) context = [uncond x P, cond x P]
+        (reference get_context, p2p/inversion/ddim.py:43-57)."""
+        p = len(prompts)
+        ids = self._token_ids(list(prompts) + [""] * p)
+        emb = self.text_encoder.apply(self.text_params, ids)["last_hidden_state"]
+        cond, uncond = emb[:p], emb[p:]
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    def encode_prompts_xl(
+        self, prompts: Sequence[str]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """SDXL dual-encoder: returns (context (2P,77,2048), pooled (2P,1280)).
+
+        Mirrors diffusers encode_prompt with force_zeros_for_empty_prompt:
+        the unconditional context/pooled are zeros
+        (used via p2p/model/sd_utils.py:189-222).
+        """
+        p = len(prompts)
+        ids1 = self._token_ids(prompts)
+        ids2 = self._token_ids(prompts, self.tokenizer_2 or self.tokenizer)
+        out1 = self.text_encoder.apply(self.text_params, ids1)
+        out2 = self.text_encoder_2.apply(self.text_params_2, ids2)
+        cond = jnp.concatenate([out1["penultimate"], out2["penultimate"]], axis=-1)
+        pooled = out2["pooled"]
+        context = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
+        pooled = jnp.concatenate([jnp.zeros_like(pooled), pooled], axis=0)
+        return context, pooled
+
+    def encode_prompts(self, prompts: Sequence[str]):
+        """Returns (context, added_cond or None) for self.model_type."""
+        if self.model_type == "xl":
+            context, pooled = self.encode_prompts_xl(prompts)
+            return context, {"text_embeds": pooled}
+        return self.encode_prompts_sd(prompts), None
+
+    def add_time_ids(self, height: int, width: int, batch: int) -> jnp.ndarray:
+        """SDXL (orig_h, orig_w, crop_t, crop_l, target_h, target_w)
+        (reference: model._get_add_time_ids call, p2p/inversion/ddim.py:66-76)."""
+        ids = jnp.asarray(
+            [[height, width, 0, 0, height, width]], dtype=jnp.float32
+        )
+        return jnp.broadcast_to(ids, (batch, 6))
+
+    # ----------------------------------------------------------------- image
+
+    def image2latent(self, image: np.ndarray) -> jnp.ndarray:
+        """uint8 HWC (or BHWC) image -> scaled latent mean
+        (p2p/inversion/ddim.py:35-41)."""
+        if image.ndim == 3:
+            image = image[None]
+        x = jnp.asarray(image, self.dtype) / 127.5 - 1.0
+        return self.vae.apply(self.vae_params, x, method=AutoencoderKL.encode)
+
+    def latent2image(self, latents: jnp.ndarray) -> np.ndarray:
+        """Latents -> uint8 numpy images (p2p/model/sd_utils.py:82-88)."""
+        img = self.vae.apply(self.vae_params, latents, method=AutoencoderKL.decode)
+        img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+        return np.asarray(jnp.round(img * 255).astype(jnp.uint8))
+
+    # ------------------------------------------------------------------ unet
+
+    def unet_apply(self, latents, t, context, ctrl=None, added_cond=None,
+                   use_flash: bool = True):
+        return self.unet.apply(
+            self.unet_params, latents, t, context, ctrl, added_cond, use_flash
+        )
+
+
+def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
+    """Random-weight tiny pipeline for tests (the reference's validation
+    strategy offers no fixtures — SURVEY.md §4 — so we build our own)."""
+    from image_editing_framework_tpu.models import configs
+    from image_editing_framework_tpu.models.clip import TINY_CLIP, CLIPTextModel
+    from image_editing_framework_tpu.models.tokenizer import WordTokenizer
+    from image_editing_framework_tpu.models.vae import TINY_VAE
+
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    is_xl = model_type == "xl"
+    unet_cfg = configs.TINY_XL_UNET if is_xl else configs.TINY_UNET
+    unet = UNet2DCondition(unet_cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    ctx_dim = unet_cfg.cross_attention_dim
+    ctx = jnp.zeros((1, 77, ctx_dim))
+    added = (
+        {"text_embeds": jnp.zeros((1, 16)), "time_ids": jnp.zeros((1, 6))}
+        if is_xl
+        else None
+    )
+    unet_params = unet.init(k1, x, 0, ctx, None, added)
+
+    vae = AutoencoderKL(TINY_VAE)
+    vae_params = vae.init(k2, jnp.zeros((1, 32, 32, 3)))
+
+    # XL: the context is the concat of both encoders' penultimate states, so
+    # each tiny tower gets half the cross-attention width.
+    hid = ctx_dim // 2 if is_xl else ctx_dim
+    tokenizer = WordTokenizer(vocab_size=64)
+    clip_cfg = dataclasses.replace(
+        TINY_CLIP, hidden_size=hid, projection_dim=None, vocab_size=64
+    )
+    text = CLIPTextModel(clip_cfg)
+    text_params = text.init(k3, jnp.zeros((1, 77), jnp.int32))
+
+    pipe = SDPipeline(
+        model_type=model_type,
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        text_encoder=text,
+        text_params=text_params,
+        tokenizer=tokenizer,
+        scheduler=make_ddim_schedule(num_steps),
+    )
+    if is_xl:
+        clip2 = dataclasses.replace(
+            TINY_CLIP, hidden_size=hid, projection_dim=16, vocab_size=64
+        )
+        text2 = CLIPTextModel(clip2)
+        pipe.text_encoder_2 = text2
+        pipe.text_params_2 = text2.init(k4, jnp.zeros((1, 77), jnp.int32))
+        pipe.tokenizer_2 = tokenizer
+    return pipe
