@@ -1,0 +1,99 @@
+"""Benchmark CLI: per-image 50-step real-image edit latency on one TPU chip.
+
+Workload (mirrors the reference's canonical flow, p2p/edit_real.py):
+  50-step DDIM inversion (UNet batch 1) + 50-step P2P edit (CFG batch 4 =
+  2 prompts x uncond/cond) + VAE decode, SD1.5 architecture at 512x512,
+  bfloat16 params/activations, fused Pallas flash self-attention.
+
+Random weights — compute cost is identical to trained weights; the reference
+publishes no numbers (BASELINE.md), so the comparison point is the north-star
+target: full PIE-Bench (700 images) under 10 min on a v4-8, i.e.
+600s * 8 chips / 700 images = 6.857 s per image per chip.
+vs_baseline = target_latency / measured  (>1 means beating the target).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+TARGET_S_PER_IMAGE_PER_CHIP = 600.0 * 8 / 700.0  # 6.857 s
+
+
+def main() -> None:
+    from image_editing_framework_tpu.core.config import P2PConfig
+    from image_editing_framework_tpu.core.scheduler import make_ddim_schedule
+    from image_editing_framework_tpu.inversion.ddim import _invert_scan
+    from image_editing_framework_tpu.methods.base import _denoise_scan, LocalBlend
+    from image_editing_framework_tpu.models import configs
+    from image_editing_framework_tpu.models.tokenizer import WordTokenizer
+    from image_editing_framework_tpu.models.unet import UNet2DCondition
+    from image_editing_framework_tpu.models.vae import AutoencoderKL, VAEConfig
+    from image_editing_framework_tpu.ops.controls import build_p2p_control
+
+    dtype = jnp.bfloat16
+    use_flash = jax.default_backend() == "tpu"
+    sched = make_ddim_schedule(50)
+
+    unet = UNet2DCondition(configs.SD15_UNET, dtype=dtype)
+    lat1 = jnp.zeros((1, 64, 64, 4), dtype)
+    ctx1 = jnp.zeros((1, 77, 768), dtype)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat1, 0, ctx1)
+
+    vae = AutoencoderKL(VAEConfig(), dtype=dtype)
+    vae_params = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 512, 512, 3), dtype))
+    decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
+
+    ctrl = build_p2p_control(
+        ["a cat sitting on a chair", "a dog sitting on a chair"],
+        WordTokenizer(),
+        50,
+        P2PConfig(edit_type="replace"),
+    )
+    latent = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 4), dtype)
+    cond = jax.random.normal(jax.random.PRNGKey(3), (1, 77, 768), dtype)
+    context = jax.random.normal(jax.random.PRNGKey(4), (4, 77, 768), dtype)
+
+    def run_once():
+        last, _ = _invert_scan(unet, params, sched, latent, cond, None, use_flash)
+        lat2 = jnp.broadcast_to(last, (2, 64, 64, 4))
+        final, _ = _denoise_scan(
+            unet, params, sched, lat2, context, ctrl,
+            jnp.asarray(7.5, dtype), None, None,
+            LocalBlend(jnp.zeros((1, 77))), None,
+            use_flash, False, False,
+        )
+        return decode(vae_params, final)
+
+    import numpy as np
+
+    # warmup / compile. NOTE: block_until_ready does not reliably force
+    # execution on the tunneled TPU platform — fetch to host instead (a real
+    # edit fetches the image to save it anyway).
+    np.asarray(run_once())
+
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        img = np.asarray(run_once())
+    per_image = (time.perf_counter() - t0) / n
+
+    print(
+        json.dumps(
+            {
+                "metric": "p2p_real_edit_latency_sd15_512",
+                "value": round(per_image, 4),
+                "unit": "s/image (50-step inversion + 50-step edit + decode, 1 chip)",
+                "vs_baseline": round(TARGET_S_PER_IMAGE_PER_CHIP / per_image, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

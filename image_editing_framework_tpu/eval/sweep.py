@@ -1,0 +1,105 @@
+"""PIE-Bench sweep driver.
+
+Reference shape (p2p/test.py:114-181): loop categories [0-4, 6-9] (5 is
+skipped), per image invert -> build controller -> edit -> save
+``test_exp/<image>/{source,inversion,edit}.png``; P2P picks replace vs refine
+by word-count equality (p2p/test.py:120-123).
+
+Differences by design:
+* One compiled program serves every image — shapes (512^2, 77-token padded
+  prompts, mapper matrices) are static, so jit caches across the sweep
+  instead of re-tracing (the reference re-registers hooks per image).
+* Sweep-level resumability: images whose output directory already holds
+  edit.png are skipped (SURVEY.md §5 failure-recovery note).
+* Multi-host sharding: ``shard_index/shard_count`` split the item list so
+  the 700-image sweep runs data-parallel across chips/hosts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from image_editing_framework_tpu.core.config import P2PConfig, SamplerConfig
+from image_editing_framework_tpu.data.pie import DEFAULT_CATEGORIES, PIE
+from image_editing_framework_tpu.utils.images import load_image, save_img
+
+
+def _auto_p2p_config(source_prompt: str, target_prompt: str) -> P2PConfig:
+    """replace if equal word counts else refine (p2p/test.py:120-123)."""
+    if len(source_prompt.split(" ")) == len(target_prompt.split(" ")):
+        return P2PConfig(edit_type="replace")
+    return P2PConfig(edit_type="refine")
+
+
+def run_sweep(
+    pipe,
+    method: str,
+    dataset_path: str,
+    exp_path: str,
+    inversion_type: str = "ddim",
+    seed: int = 42,
+    categories=DEFAULT_CATEGORIES,
+    method_kwargs: Optional[dict] = None,
+    resume: bool = True,
+    shard_index: int = 0,
+    shard_count: int = 1,
+    max_items: Optional[int] = None,
+    resolution: Optional[int] = None,
+) -> dict:
+    from image_editing_framework_tpu.cli import invert, run_method
+
+    res = resolution or (1024 if pipe.model_type == "xl" else 512)
+    sampler = SamplerConfig(height=res, width=res, seed=seed)
+    times = []
+    done = skipped = 0
+    t_start = time.perf_counter()
+    for category in categories:
+        data = PIE(dataset_path, category)
+        items = data.items[shard_index::shard_count]
+        for item in items:
+            if max_items is not None and done + skipped >= max_items:
+                break
+            out_dir = os.path.join(exp_path, item.key)
+            if resume and os.path.exists(os.path.join(out_dir, "edit.png")):
+                skipped += 1
+                continue
+            os.makedirs(out_dir, exist_ok=True)
+            t0 = time.perf_counter()
+            image = load_image(item.image_path, res, res)
+            save_img(image, os.path.join(out_dir, "source.png"))
+            latent, _, uncond_seq = invert(
+                pipe, image, item.source_prompt, inversion_type, method
+            )
+            kw = dict(method_kwargs or {})
+            if method == "p2p" and "config" not in kw:
+                kw["config"] = _auto_p2p_config(item.source_prompt, item.target_prompt)
+            inv_img, edit_img = run_method(
+                method, pipe, [item.source_prompt, item.target_prompt], latent,
+                sampler, uncond_seq, kw,
+            )
+            save_img(inv_img, os.path.join(out_dir, "inversion.png"))
+            save_img(edit_img, os.path.join(out_dir, "edit.png"))
+            times.append(time.perf_counter() - t0)
+            done += 1
+    wall = time.perf_counter() - t_start
+    stats = {
+        "method": method,
+        "images_done": done,
+        "images_skipped": skipped,
+        "wall_s": round(wall, 2),
+        "mean_s_per_image": round(float(np.mean(times)), 3) if times else None,
+        # first image includes compile; steady-state excludes it
+        "steady_s_per_image": round(float(np.mean(times[1:])), 3)
+        if len(times) > 1
+        else None,
+    }
+    os.makedirs(exp_path, exist_ok=True)
+    with open(os.path.join(exp_path, f"sweep_stats_{method}_{shard_index}.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    return stats

@@ -64,7 +64,7 @@ def _nti_scan(
         eps_c = unet_eps(latent_cur, t, cond_emb, use_flash)
 
         def loss_fn(u):
-            eps_u = unet_eps(latent_cur, t, u, False)
+            eps_u = unet_eps(latent_cur, t, u, use_flash)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
             prev = ddim_step(sched, eps, i, latent_cur)
             return jnp.mean((prev - target) ** 2)

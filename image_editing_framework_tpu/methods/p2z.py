@@ -47,7 +47,7 @@ def _guided_scan(
 
     def attn_loss(x_in, t, ref_t):
         _, rec = unet.apply(
-            unet_params, x_in, t, context, step_ctrl, added_cond, False
+            unet_params, x_in, t, context, step_ctrl, added_cond, use_flash
         )
         # reference: sum((curr - ref)^2 over (N, 77)), mean over batch*heads
         # (pix2pix-zero/model/sd_utils.py:166-172).

@@ -147,8 +147,10 @@ class Attention(nn.Module):
                 records[rkey] = ctrl.record(site, probs)
             out = apply_probs(probs, v)
         else:
-            plan = ctrl.self_plan(site, x.shape[0])
-            out = self_attention(q, k, v, plan, use_flash=use_flash)
+            out = ctrl.self_override(site, q, k, v)  # masked variants
+            if out is None:
+                plan = ctrl.self_plan(site, x.shape[0])
+                out = self_attention(q, k, v, plan, use_flash=use_flash)
         out = merge_heads(out).astype(x.dtype)
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
         return out, records

@@ -110,14 +110,36 @@ def self_attention(
         if s > 1:
             seg = jnp.where(plan.valid, 0.0, NEG_INF).astype(jnp.float32)  # (B,S)
             bias = jnp.repeat(seg, n, axis=1)  # (B, S*N)
-    if use_flash and bias is None:
-        return flash_attention(q, k, v)
-    # Bias path / differentiable path: explicit attention.
+    if use_flash:
+        return flash_attention(q, k, v, bias)
+    # Explicit XLA path (oracle / CPU).
     scale = 1.0 / math.sqrt(d)
     s_ = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
     if bias is not None:
         s_ = s_ + bias[:, None, None, :]
     p = jax.nn.softmax(s_, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def masked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Attention with a per-key additive logit bias (B, Nk) — the masked
+    MasaCtrl primitives (masactrl/model/attention_control.py:142-151)."""
+    import jax as _jax
+
+    if use_flash is None:
+        use_flash = _jax.default_backend() == "tpu"
+    if use_flash:
+        return flash_attention(q, k, v, bias)
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / math.sqrt(d)
+    s = s + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -46,6 +47,11 @@ from image_editing_framework_tpu.ops.attention import AttnSite, SelfAttnPlan
 @struct.dataclass
 class NoneStep:
     def self_plan(self, site: AttnSite, batch: int) -> Optional[SelfAttnPlan]:
+        return None
+
+    def self_override(self, site: AttnSite, q, k, v):
+        """Full custom self-attention output (masked MasaCtrl variants);
+        None means use the plan/flash path. Static per control type."""
         return None
 
     def edit_cross(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
@@ -203,15 +209,22 @@ class MasaCtrlStep(NoneStep):
     """Mutual self-attention: at gated (step, layer), every element of each
     CFG half attends to the half's *source* K/V
     (masactrl/model/attention_control.py:59-66); "union" mode instead gives
-    target elements concat([source, self]) K/V (:102-103)."""
+    target elements concat([source, self]) K/V (:102-103).
 
-    layer_gate: jnp.ndarray  # (L,) bool — this step
+    The layer set is *static* (baked per attention site, so ungated layers
+    compile with no gather at all); only the step gate is dynamic.
+    """
+
+    step_gate: jnp.ndarray  # () bool — this step
+    layers: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     num_prompts: int = struct.field(pytree_node=False, default=2)
     union: bool = struct.field(pytree_node=False, default=False)
 
     def self_plan(self, site: AttnSite, batch: int) -> Optional[SelfAttnPlan]:
+        if site.layer not in self.layers:
+            return None
         p = self.num_prompts
-        gate = self.layer_gate[site.layer]
+        gate = self.step_gate
         iota = jnp.arange(batch, dtype=jnp.int32)
         half_src = (iota // p) * p
         if not self.union:
@@ -231,14 +244,83 @@ class MasaCtrlStep(NoneStep):
 
 
 @struct.dataclass
+class MasaCtrlMaskStep(MasaCtrlStep):
+    """Mask-guided MasaCtrl (masactrl/model/attention_control.py:110-190):
+    at gated layers, target queries attend the source K/V twice — restricted
+    to source-foreground keys and source-background keys — and the two
+    outputs blend by the target mask:
+
+        out_t = out_fg * mask_t + out_bg * (1 - mask_t)
+
+    Source branches run normal self-attention. ``mask_s`` / ``mask_t`` are
+    full-resolution (h, w) float masks, pooled to each site's token grid.
+    """
+
+    mask_s: jnp.ndarray = None  # (h, w) source object mask
+    mask_t: jnp.ndarray = None  # (h, w) target object mask
+
+    def _site_mask(self, mask: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+        side = int(seq_len**0.5)
+        m = jax.image.resize(mask, (side, side), method="nearest")
+        return m.reshape(-1)  # (N,)
+
+    def self_override(self, site: AttnSite, q, k, v):
+        if site.layer not in self.layers:
+            return None
+        from image_editing_framework_tpu.ops import attention as attn_ops
+        from image_editing_framework_tpu.ops.flash_attention import NEG_INF
+
+        b, h, n, d = q.shape
+        p = self.num_prompts
+        iota = jnp.arange(b, dtype=jnp.int32)
+        half_src = (iota // p) * p
+        ms = self._site_mask(self.mask_s, n)  # (N,) source fg mask
+        mt = self._site_mask(self.mask_t, n)  # (N,) target fg mask
+
+        # Normal output (ungated steps / source rows).
+        normal = attn_ops.self_attention(q, k, v, None, use_flash=False)
+        # fg / bg outputs: all queries vs source K/V restricted by mask.
+        k_src, v_src = k[half_src], v[half_src]
+        bias_fg = jnp.broadcast_to(
+            jnp.where(ms > 0.5, 0.0, NEG_INF)[None, :], (b, n)
+        )
+        bias_bg = jnp.broadcast_to(
+            jnp.where(ms > 0.5, NEG_INF, 0.0)[None, :], (b, n)
+        )
+        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg)
+        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg)
+        blended = out_fg * mt[None, None, :, None] + out_bg * (
+            1.0 - mt[None, None, :, None]
+        )
+        is_target = ((iota % p) != 0)[:, None, None, None]
+        gated = jnp.where(is_target & self.step_gate, blended, normal)
+        return gated
+
+
+@struct.dataclass
 class MasaCtrlControl:
-    gate: jnp.ndarray  # (num_steps, L)
+    step_gate: jnp.ndarray  # (num_steps,)
+    layers: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     num_prompts: int = struct.field(pytree_node=False, default=2)
     union: bool = struct.field(pytree_node=False, default=False)
+    mask_s: Optional[jnp.ndarray] = None
+    mask_t: Optional[jnp.ndarray] = None
 
     def at_step(self, i) -> MasaCtrlStep:
+        if self.mask_s is not None:
+            return MasaCtrlMaskStep(
+                step_gate=self.step_gate[i],
+                layers=self.layers,
+                num_prompts=self.num_prompts,
+                union=self.union,
+                mask_s=self.mask_s,
+                mask_t=self.mask_t,
+            )
         return MasaCtrlStep(
-            layer_gate=self.gate[i], num_prompts=self.num_prompts, union=self.union
+            step_gate=self.step_gate[i],
+            layers=self.layers,
+            num_prompts=self.num_prompts,
+            union=self.union,
         )
 
 
@@ -247,12 +329,19 @@ def build_masactrl_control(
     num_layers: int,
     cfg: MasaCtrlConfig,
     num_prompts: int = 2,
+    mask_s: Optional[jnp.ndarray] = None,
+    mask_t: Optional[jnp.ndarray] = None,
 ) -> MasaCtrlControl:
-    gate = schedules.masactrl_gate(
-        num_steps, num_layers, start_step=cfg.start_step, start_layer=cfg.start_layer
-    )
+    steps = np.zeros(num_steps, dtype=bool)
+    steps[cfg.start_step :] = True
+    layers = tuple(range(cfg.start_layer, num_layers))
     return MasaCtrlControl(
-        gate=jnp.asarray(gate), num_prompts=num_prompts, union=(cfg.mode == "union")
+        step_gate=jnp.asarray(steps),
+        layers=layers,
+        num_prompts=num_prompts,
+        union=(cfg.mode == "union"),
+        mask_s=None if mask_s is None else jnp.asarray(mask_s, jnp.float32),
+        mask_t=None if mask_t is None else jnp.asarray(mask_t, jnp.float32),
     )
 
 

@@ -1,4 +1,4 @@
-"""Fused flash attention for TPU (Pallas).
+"""Fused flash attention for TPU (Pallas), forward + custom VJP.
 
 This is the compute path that replaces the reference's materialize-probs
 attention (p2p/model/register.py:47-50, masactrl/model/register.py:35-48).
@@ -16,8 +16,16 @@ standard softmax(QK^T)V. The remap is a cheap XLA gather (bytes ~= one K/V
 read, negligible vs the O(N^2) attention FLOPs); the attention itself runs in
 this fused online-softmax kernel so the (N, N) score matrix never touches HBM.
 
-Numerics: scores and softmax statistics in float32 regardless of input dtype.
-Falls back to interpret mode off-TPU (tests run on the CPU backend).
+The backward pass (needed by null-text inversion's Adam loop,
+p2p/inversion/nti.py:23-29, and pix2pix-zero's latent SGD,
+pix2pix-zero/model/sd_utils.py:157-174) follows the standard flash recipe:
+the forward saves only the per-row log-sum-exp; two kernels recompute
+probability tiles on the fly — dQ iterating KV tiles, dK/dV iterating Q
+tiles — with di = sum(o * do) precomputed once.
+
+Numerics: scores and softmax statistics in float32 regardless of input dtype;
+float32 inputs use exact multi-pass MXU multiplies, bfloat16 the native
+single-pass path. Falls back to interpret mode off-TPU.
 """
 
 from __future__ import annotations
@@ -37,61 +45,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale, kv_len, block_k
-):
-    """Online-softmax attention tile. Grid: (BH, n_q, n_k)."""
-    ki = pl.program_id(2)
-    n_k = pl.num_programs(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[0]  # (bq, d)
-    k = k_ref[0]  # (bk, d)
-    # For float32 inputs use multi-pass MXU multiplies (exact); bf16 inputs
-    # take the native single-pass path.
-    precision = (
-        jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+def _precision(dtype):
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
     )
-    s = jax.lax.dot_general(
-        q,
-        k,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    s *= sm_scale
-
-    # Mask padded KV rows (when kv_len is not a multiple of block_k).
-    if kv_len % block_k != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        s = jnp.where(col < kv_len, s, NEG_INF)
-
-    m_prev = m_ref[...]  # (bq, 128) broadcast lanes
-    l_prev = l_ref[...]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-    m_next = jnp.maximum(m_prev, m_cur)  # (bq, 128)
-    alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (bq, 1)
-    p = jnp.exp(s - m_next[:, :1])
-    l_ref[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[...] = m_next
-
-    v = v_ref[0]  # (bk, d)
-    pv = jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=precision
-    )
-    acc_ref[...] = acc_ref[...] * alpha + pv
-
-    @pl.when(ki == n_k - 1)
-    def _store():
-        l = l_ref[:, :1]
-        o_ref[0] = (acc_ref[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)).astype(
-            o_ref.dtype
-        )
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -104,61 +63,85 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "block_k"))
-def flash_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    sm_scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
-) -> jnp.ndarray:
-    """softmax(q k^T * scale) v with online softmax.
+# ---------------------------------------------------------------------------
+# forward
 
-    Args:
-      q: (B, H, Nq, D)
-      k/v: (B, H, Nk, D)
-    Returns:
-      (B, H, Nq, D) in q.dtype.
-    """
-    b, h, nq, d = q.shape
-    nk = k.shape[2]
-    if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(d)
 
-    # Pad head dim to the 128-lane layout (zero pads are exact: they add
-    # nothing to QK^T and produce zero output tail which we slice off).
-    dp = max(128, ((d + 127) // 128) * 128)
-    if dp != d:
-        q = _pad_to(q, 3, dp)
-        k = _pad_to(k, 3, dp)
-        v = _pad_to(v, 3, dp)
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, sm_scale, kv_len, block_k,
+):
+    """Online-softmax attention tile. Grid: (BH, n_q, n_k)."""
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
 
-    bq = min(block_q, nq)
-    bk = min(block_k, nk)
-    nk_pad = ((nk + bk - 1) // bk) * bk
-    if nk_pad != nk:
-        k = _pad_to(k, 2, bk)
-        v = _pad_to(v, 2, bk)
-    assert nq % bq == 0, (nq, bq)
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    qf = q.reshape(b * h, nq, dp)
-    kf = k.reshape(b * h, nk_pad, dp)
-    vf = v.reshape(b * h, nk_pad, dp)
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
+    precision = _precision(q.dtype)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    s *= sm_scale
+    s += bias_ref[0][None, :]  # additive per-key logit bias (segment masks)
 
-    grid = (b * h, nq // bq, nk_pad // bk)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, sm_scale=sm_scale, kv_len=nk, block_k=bk
+    # Mask padded KV rows (when kv_len is not a multiple of block_k).
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[...]  # (bq, 128) broadcast lanes
+    l_prev = l_scr[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+    m_next = jnp.maximum(m_prev, m_cur)  # (bq, 128)
+    alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (bq, 1)
+    p = jnp.exp(s - m_next[:, :1])
+    l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[...] = m_next
+
+    v = v_ref[0]  # (bk, d)
+    pv = jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)).astype(
+            o_ref.dtype
+        )
+        lse_ref[0, :] = (m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37)))
+
+
+def _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, kv_len):
+    bh, nq, dp = qf.shape
+    nk_pad = kf.shape[1]
+    grid = (bh, nq // bq, nk_pad // bk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, kv_len=kv_len, block_k=bk),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq, dp), qf.dtype),
+            jax.ShapeDtypeStruct((bh, nq), jnp.float32),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq, dp), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, bk, dp), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, bk, dp), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk), lambda b, qi, ki: (b, ki)),
         ],
-        out_specs=pl.BlockSpec((1, bq, dp), lambda bh, qi, ki: (bh, qi, 0)),
+        out_specs=(
+            pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -168,17 +151,254 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(qf, kf, vf)
+    )(qf, kf, vf, biasf)
+    return out, lse
 
-    out = out.reshape(b, h, nq, dp)
+
+# ---------------------------------------------------------------------------
+# backward
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, di_ref, dq_ref, acc_scr,
+    *, sm_scale, kv_len, block_k,
+):
+    """dQ = (P * (dO V^T - di)) K * scale, accumulated over KV tiles.
+    Grid: (BH, n_q, n_k)."""
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    precision = _precision(q.dtype)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * sm_scale
+    s += bias_ref[0][None, :]
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, None])  # (bq, bk)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (bq, bk)
+    ds = p * (dp - di_ref[0][:, None]) * sm_scale
+    acc_scr[...] += jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *, sm_scale,
+):
+    """dV = P^T dO;  dK = (P * (dO V^T - di))^T Q * scale.
+    Grid: (BH, n_k, n_q) — Q tiles innermost."""
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    precision = _precision(q.dtype)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * sm_scale
+    s += bias_ref[0][None, :]
+    p = jnp.exp(s - lse_ref[0][:, None])  # (bq, bk)
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (bk, d)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    ds = p * (dp - di_ref[0][:, None]) * sm_scale  # (bq, bk)
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (bk, d)
+
+    @pl.when(qi == n_q - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, kv_len):
+    bh, nq, dp = qf.shape
+    nk_pad = kf.shape[1]
+    di = jnp.sum(of.astype(jnp.float32) * do_f.astype(jnp.float32), axis=-1)  # (bh, nq)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, sm_scale=sm_scale, kv_len=kv_len, block_k=bk
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, dp), qf.dtype),
+        grid=(bh, nq // bq, nk_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk), lambda b, qi, ki: (b, ki)),
+            pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),
+            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, biasf, do_f, lse, di)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nk_pad, dp), kf.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, dp), vf.dtype),
+        ),
+        grid=(bh, nk_pad // bk, nq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bk), lambda b, ki, qi: (b, ki)),
+            pl.BlockSpec((1, bq, dp), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bq), lambda b, ki, qi: (b, qi)),
+            pl.BlockSpec((1, bq), lambda b, ki, qi: (b, qi)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, dp), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, ki, qi: (b, ki, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, dp), jnp.float32),
+            pltpu.VMEM((bk, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, biasf, do_f, lse, di)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+
+
+def _prep(q, k, v, bias, block_q, block_k):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    dp = max(128, ((d + 127) // 128) * 128)
     if dp != d:
-        out = out[..., :d]
-    return out
+        q = _pad_to(q, 3, dp)
+        k = _pad_to(k, 3, dp)
+        v = _pad_to(v, 3, dp)
+    bq = min(block_q, nq)
+    bk = min(block_k, nk)
+    nk_pad = ((nk + bk - 1) // bk) * bk
+    if nk_pad != nk:
+        k = _pad_to(k, 2, bk)
+        v = _pad_to(v, 2, bk)
+    assert nq % bq == 0, (nq, bq)
+    qf = q.reshape(b * h, nq, dp)
+    kf = k.reshape(b * h, nk_pad, dp)
+    vf = v.reshape(b * h, nk_pad, dp)
+    # bias: (B, Nk) per-key logit bias, broadcast over heads.
+    biasf = jnp.broadcast_to(
+        _pad_to(bias.astype(jnp.float32), 1, bk)[:, None, :], (b, h, nk_pad)
+    ).reshape(b * h, nk_pad)
+    return qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, bias, sm_scale, block_q, block_k):
+    qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
+        q, k, v, bias, block_q, block_k
+    )
+    out, _ = _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, nk)
+    return out.reshape(b, h, nq, dp)[..., :d]
+
+
+def _flash_fwd(q, k, v, bias, sm_scale, block_q, block_k):
+    qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
+        q, k, v, bias, block_q, block_k
+    )
+    out, lse = _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, nk)
+    res = (qf, kf, vf, biasf, out, lse, (b, h, nq, nk, d, dp, bq, bk))
+    return out.reshape(b, h, nq, dp)[..., :d], res
+
+
+def _flash_bwd(sm_scale, block_q, block_k, res, g):
+    qf, kf, vf, biasf, of, lse, (b, h, nq, nk, d, dp, bq, bk) = res
+    do = _pad_to(g, 3, dp) if dp != d else g
+    do_f = do.reshape(b * h, nq, dp).astype(qf.dtype)
+    dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, nk)
+    dq = dq.reshape(b, h, nq, dp)[..., :d]
+    dk = dk.reshape(b, h, -1, dp)[:, :, :nk, :d]
+    dv = dv.reshape(b, h, -1, dp)[:, :, :nk, :d]
+    # Bias is a mask schedule, not a learned quantity: zero cotangent.
+    dbias = jnp.zeros((b, nk), jnp.float32)
+    return dq, dk, dv, dbias
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    sm_scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """softmax(q k^T * scale + bias) v with online softmax; differentiable.
+
+    Args:
+      q: (B, H, Nq, D)
+      k/v: (B, H, Nk, D)
+      bias: optional (B, Nk) per-key logit bias (segment / spatial masks),
+        broadcast over heads and queries; NEG_INF disables a key.
+    Returns:
+      (B, H, Nq, D) in q.dtype.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+    return _flash(q, k, v, bias, sm_scale, block_q, block_k)
 
 
 def reference_attention(q, k, v, sm_scale=None):
     """Explicit O(N^2) attention (float32 softmax) — correctness oracle and
-    differentiable fallback for gradient paths (NTI, pix2pix-zero pass 2)."""
+    differentiable fallback used by the XLA attention path."""
     d = q.shape[-1]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)

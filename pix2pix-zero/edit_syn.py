@@ -1,0 +1,10 @@
+"""pix2pix-zero synthetic-image editing CLI (reference: pix2pix-zero/edit_syn.py)."""
+import _bootstrap  # noqa: F401
+from image_editing_framework_tpu.cli import edit_syn_main
+
+if __name__ == "__main__":
+    edit_syn_main(
+        "p2z",
+        default_source="a round cake with orange frosting on a wooden plate",
+        default_target="a square cake with orange frosting on a wooden plate",
+    )

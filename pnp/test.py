@@ -1,0 +1,6 @@
+"""PnP PIE-Bench sweep (reference: pnp/test.py)."""
+import _bootstrap  # noqa: F401
+from image_editing_framework_tpu.cli import test_main
+
+if __name__ == "__main__":
+    test_main("pnp")

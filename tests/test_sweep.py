@@ -1,0 +1,93 @@
+"""Sweep driver test on a synthetic mini PIE-Bench."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_editing_framework_tpu.data.pie import PIE, save_inversion, PIEPrecomputedInversion
+from image_editing_framework_tpu.eval.sweep import run_sweep, _auto_p2p_config
+from image_editing_framework_tpu.pipelines import tiny_pipeline
+
+
+@pytest.fixture()
+def mini_pie(tmp_path):
+    root = tmp_path / "PIE"
+    imgdir = root / "annotation_images" / "0_random"
+    imgdir.mkdir(parents=True)
+    mapping = {}
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        rel = f"0_random/img_{i}.jpg"
+        Image.fromarray(
+            rng.randint(0, 255, (64, 64, 3), np.uint8)
+        ).save(root / "annotation_images" / f"img_{i}.jpg".replace("img", "x"))
+        (root / "annotation_images" / "0_random").mkdir(exist_ok=True)
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+            root / "annotation_images" / rel
+        )
+        mapping[str(i)] = {
+            "image_path": rel,
+            "original_prompt": f"a [cat] number {i}",
+            "editing_prompt": f"a [dog] number {i}",
+        }
+    # one item in another category (should be excluded when filtering 0)
+    rel = "6_other/img.jpg"
+    (root / "annotation_images" / "6_other").mkdir(parents=True)
+    Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+        root / "annotation_images" / rel
+    )
+    mapping["9"] = {
+        "image_path": rel,
+        "original_prompt": "a [cat]",
+        "editing_prompt": "a [dog]",
+    }
+    with open(root / "mapping_file.json", "w") as f:
+        json.dump(mapping, f)
+    return str(root)
+
+
+def test_pie_dataset(mini_pie):
+    data = PIE(mini_pie, category=0)
+    assert len(data) == 3
+    item = data[0]
+    assert "[" not in item.source_prompt and "]" not in item.source_prompt
+    assert os.path.exists(item.image_path)
+    assert len(PIE(mini_pie)) == 4
+
+
+def test_auto_p2p_config():
+    assert _auto_p2p_config("a cat sat", "a dog sat").edit_type == "replace"
+    assert _auto_p2p_config("a cat", "a big cat").edit_type == "refine"
+
+
+def test_sweep_p2p_and_resume(mini_pie, tmp_path):
+    pipe = tiny_pipeline(num_steps=4)
+    exp = str(tmp_path / "exp")
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, exp, inversion_type="ddim", categories=(0,),
+        max_items=2, resolution=32,
+    )
+    assert stats["images_done"] == 2
+    done_dirs = sorted(os.listdir(os.path.join(exp, "0_random")))
+    assert len(done_dirs) == 2
+    for f in ("source.png", "inversion.png", "edit.png"):
+        assert os.path.exists(os.path.join(exp, "0_random", done_dirs[0], f))
+    # resume: already-done images are skipped
+    stats2 = run_sweep(
+        pipe, "p2p", mini_pie, exp, inversion_type="ddim", categories=(0,),
+        max_items=2, resolution=32,
+    )
+    assert stats2["images_done"] == 0 and stats2["images_skipped"] == 2
+
+
+def test_precomputed_inversion_cache(mini_pie, tmp_path):
+    inv = str(tmp_path / "inv")
+    data = PIE(mini_pie, category=0)
+    for item in data.items:
+        save_inversion(inv, item.key, np.zeros((1, 8, 8, 4)), np.zeros((4, 77, 32)))
+    ds = PIEPrecomputedInversion(mini_pie, inv, category=0)
+    latent, uncond = ds.load_inversion(ds[0])
+    assert latent.shape == (1, 8, 8, 4) and uncond.shape == (4, 77, 32)
