@@ -67,21 +67,67 @@ def ssim(a, b, window: int = 7) -> float:
 
 
 class CLIPScore:
-    """CLIP image-text alignment score.
+    """CLIP image-text alignment score: 100 * max(cos(img_emb, txt_emb), 0).
 
-    Requires a CLIP checkpoint with a vision tower (e.g. ViT-B/32) converted
-    to Flax; pass its directory. Raises if unavailable — this framework never
-    fakes metric numbers.
+    Loads both towers of a full CLIP checkpoint (HF layout: a directory with
+    ``model.safetensors`` holding text_model.* / vision_model.* /
+    *_projection plus a ``tokenizer/`` or top-level vocab files). Raises if
+    unavailable — this framework never fakes metric numbers.
     """
 
-    def __init__(self, checkpoint_dir: Optional[str] = None):
-        if checkpoint_dir is None:
-            raise NotImplementedError(
-                "CLIPScore needs a local CLIP vision checkpoint; the Flax "
-                "vision tower lands alongside the text towers in a follow-up "
-                "round (models/clip.py currently implements text only)."
-            )
-        raise NotImplementedError("vision tower loading not yet wired")
+    def __init__(self, checkpoint_dir: str, dtype=jnp.float32):
+        import os
+
+        import jax as _jax
+
+        from image_editing_framework_tpu.models import loader
+        from image_editing_framework_tpu.models.clip import (
+            CLIP_VIT_B32_VISION,
+            CLIPTextConfig,
+            CLIPTextModel,
+            CLIPVisionModel,
+            clip_preprocess,
+        )
+        from image_editing_framework_tpu.models.tokenizer import CLIPTokenizer
+
+        ckpt_path = os.path.join(checkpoint_dir, "model.safetensors")
+        ckpt = loader.load_safetensors(ckpt_path)
+
+        text_cfg = CLIPTextConfig(projection_dim=CLIP_VIT_B32_VISION.projection_dim)
+        self.text = CLIPTextModel(text_cfg, dtype=dtype)
+        ids = jnp.zeros((1, 77), jnp.int32)
+        self.text_params = loader.load_params(
+            _jax.eval_shape(lambda: self.text.init(_jax.random.PRNGKey(0), ids)),
+            ckpt,
+            loader.clip_key,
+            dtype,
+        )
+        self.vision = CLIPVisionModel(CLIP_VIT_B32_VISION, dtype=dtype)
+        px = jnp.zeros((1, 224, 224, 3), dtype)
+        self.vision_params = loader.load_params(
+            _jax.eval_shape(lambda: self.vision.init(_jax.random.PRNGKey(0), px)),
+            ckpt,
+            loader.clip_vision_key,
+            dtype,
+        )
+        tok_dir = checkpoint_dir
+        if os.path.isdir(os.path.join(checkpoint_dir, "tokenizer")):
+            tok_dir = os.path.join(checkpoint_dir, "tokenizer")
+        self.tokenizer = CLIPTokenizer.from_dir(tok_dir)
+        self._preprocess = clip_preprocess
+
+    def __call__(self, images: np.ndarray, prompts) -> float:
+        """images: uint8 (B, H, W, 3); prompts: list[str] of length B."""
+        from image_editing_framework_tpu.models.tokenizer import pad_token_ids
+
+        px = self._preprocess(jnp.asarray(images))
+        img = self.vision.apply(self.vision_params, px)["image_embeds"]
+        ids = jnp.asarray(pad_token_ids(self.tokenizer, list(prompts)))
+        txt = self.text.apply(self.text_params, ids)["pooled"]
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        cos = jnp.sum(img * txt, axis=-1)
+        return float(jnp.mean(100.0 * jnp.maximum(cos, 0.0)))
 
 
 class LPIPS:

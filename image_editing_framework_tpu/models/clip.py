@@ -97,6 +97,107 @@ class CLIPLayer(nn.Module):
         return x + h
 
 
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    image_size: int = 224
+    patch_size: int = 32
+    hidden_act: str = "quick_gelu"
+    projection_dim: int = 512
+
+
+CLIP_VIT_B32_VISION = CLIPVisionConfig()  # the standard CLIP-score backbone
+
+TINY_CLIP_VISION = CLIPVisionConfig(
+    hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+    image_size=32, patch_size=16, projection_dim=32,
+)
+
+# CLIP image preprocessing constants (OpenAI).
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+class CLIPVisionModel(nn.Module):
+    """CLIP ViT vision tower with projection (for the CLIP-score metric —
+    the reference computes no metrics at all, SURVEY.md §4)."""
+
+    config: CLIPVisionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray):
+        """pixel_values: (B, H, W, 3), CLIP-normalized.
+
+        Returns dict with 'pooled' (B, hidden) post-LN class embedding and
+        'image_embeds' (B, projection_dim).
+        """
+        cfg = self.config
+        b = pixel_values.shape[0]
+        # patch embedding: conv stride=patch, no bias (transformers parity)
+        x = nn.Conv(
+            cfg.hidden_size,
+            (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            name="patch_embedding",
+        )(pixel_values)
+        x = x.reshape(b, -1, cfg.hidden_size)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (cfg.hidden_size,)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls[None, None], (b, 1, cfg.hidden_size)), x], axis=1
+        )
+        n = x.shape[1]
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            ((cfg.image_size // cfg.patch_size) ** 2 + 1, cfg.hidden_size),
+        )
+        x = x + pos[None, :n].astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_layrnorm")(x)
+        mask = jnp.ones((n, n), bool)[None, None]
+        text_like = CLIPTextConfig(
+            hidden_size=cfg.hidden_size,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            intermediate_size=cfg.intermediate_size,
+            hidden_act=cfg.hidden_act,
+        )
+        for i in range(cfg.num_layers):
+            x = CLIPLayer(text_like, dtype=self.dtype, name=f"layer_{i}")(x, mask)
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_layernorm")(
+            x[:, 0]
+        )
+        embeds = nn.Dense(
+            cfg.projection_dim, use_bias=False, dtype=self.dtype,
+            name="visual_projection",
+        )(pooled)
+        return {"pooled": pooled, "image_embeds": embeds}
+
+
+def clip_preprocess(images: jnp.ndarray, image_size: int = 224) -> jnp.ndarray:
+    """uint8 (B,H,W,3) -> CLIP-normalized (B,image_size,image_size,3).
+
+    Bicubic resize + center normalization (matches CLIPImageProcessor's
+    defaults closely enough for scoring; exact antialiased resize parity is
+    not required for relative comparisons)."""
+    import jax
+
+    x = images.astype(jnp.float32) / 255.0
+    x = jax.image.resize(
+        x, (x.shape[0], image_size, image_size, 3), method="bicubic"
+    )
+    mean = jnp.asarray(CLIP_IMAGE_MEAN)
+    std = jnp.asarray(CLIP_IMAGE_STD)
+    return (x - mean) / std
+
+
 class CLIPTextModel(nn.Module):
     config: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32

@@ -31,6 +31,15 @@ import numpy as np
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Prefer the native zero-copy mmap reader; fall back to the safetensors
+    package when the C++ toolchain is unavailable."""
+    try:
+        from image_editing_framework_tpu import native
+
+        if native.available():
+            return native.MmapSafetensors(path)  # mapping-compatible
+    except Exception:
+        pass
     from safetensors import numpy as st_numpy
 
     return st_numpy.load_file(path)
@@ -192,8 +201,28 @@ def clip_key(path: Tuple[str, ...]) -> str:
     raise KeyError(f"unmapped CLIP path: {path}")
 
 
-def clip_position_key_special(path: Tuple[str, ...]) -> bool:
-    return path == ("position_embedding",)
+def clip_vision_key(path: Tuple[str, ...]) -> str:
+    """transformers CLIPVisionModelWithProjection key layout (note the
+    upstream 'pre_layrnorm' spelling is real)."""
+    mod = path[0]
+    if mod == "patch_embedding":
+        return "vision_model.embeddings.patch_embedding.weight"
+    if mod == "class_embedding":
+        return "vision_model.embeddings.class_embedding"
+    if mod == "position_embedding":
+        return "vision_model.embeddings.position_embedding.weight"
+    leaf = _LEAF[path[-1]]
+    if mod in ("pre_layrnorm", "post_layernorm"):
+        return f"vision_model.{mod}.{leaf}"
+    if mod == "visual_projection":
+        return "visual_projection.weight"
+    m = re.fullmatch(r"layer_(\d+)", mod)
+    if m:
+        rest = list(path[1:-1])
+        if rest and rest[0] in ("fc1", "fc2"):
+            rest = ["mlp"] + rest
+        return f"vision_model.encoder.layers.{m[1]}." + ".".join(rest + [leaf])
+    raise KeyError(f"unmapped CLIP vision path: {path}")
 
 
 # --------------------------------------------------------------------------

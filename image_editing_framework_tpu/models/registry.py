@@ -92,11 +92,23 @@ def load_pipeline(
         raise ValueError(f"please use the right sd_version (got {sd_version!r})")
     spec = VERSION_SPECS[sd_version]
     root = path or sd_mapping.sd_maps[sd_version]
-    if root.endswith(".safetensors"):
-        raise NotImplementedError(
-            "single-file checkpoints: convert to the diffusers directory "
-            "layout (unet/, vae/, text_encoder/, tokenizer/) for now"
+    single_file = root.endswith(".safetensors")
+    if single_file:
+        if spec.model_type == "xl":
+            raise NotImplementedError(
+                "single-file SDXL checkpoints (conditioner.embedders.* text "
+                "towers) are a follow-up; SD1.x single files are supported"
+            )
+        from image_editing_framework_tpu.models.convert_ldm import convert_single_file
+
+        vae_cfg_tmp = VAEConfig(scaling_factor=spec.vae_scaling)
+        unet_ckpt, vae_ckpt, text_ckpt = convert_single_file(
+            root, spec.unet, vae_cfg_tmp
         )
+        # tokenizer files must sit next to the single file or in sd_maps["1.5"]
+        tok_dir = os.path.join(os.path.dirname(root), "tokenizer")
+        if not os.path.isdir(tok_dir):
+            tok_dir = os.path.join(sd_mapping.sd_maps["1.5"], "tokenizer")
 
     is_xl = spec.model_type == "xl"
     unet = UNet2DCondition(spec.unet, dtype=dtype)
@@ -115,7 +127,7 @@ def load_pipeline(
     )
     unet_params = loader.load_params(
         _skeleton(unet, x, 0, ctx, None, added),
-        _weights(root, "unet"),
+        unet_ckpt if single_file else _weights(root, "unet"),
         loader.unet_key,
         dtype,
     )
@@ -124,7 +136,7 @@ def load_pipeline(
     vae = AutoencoderKL(vae_cfg, dtype=dtype)
     vae_params = loader.load_params(
         _skeleton(vae, jnp.zeros((1, 64, 64, 3), dtype)),
-        _weights(root, "vae"),
+        vae_ckpt if single_file else _weights(root, "vae"),
         loader.vae_key,
         dtype,
     )
@@ -133,11 +145,13 @@ def load_pipeline(
     ids = jnp.zeros((1, 77), jnp.int32)
     text_params = loader.load_params(
         _skeleton(text, ids),
-        _weights(root, "text_encoder", "model"),
+        text_ckpt if single_file else _weights(root, "text_encoder", "model"),
         loader.clip_key,
         dtype,
     )
-    tokenizer = CLIPTokenizer.from_dir(os.path.join(root, "tokenizer"))
+    tokenizer = CLIPTokenizer.from_dir(
+        tok_dir if single_file else os.path.join(root, "tokenizer")
+    )
 
     pipe = SDPipeline(
         model_type=spec.model_type,
