@@ -63,7 +63,9 @@ def _record_shapes(unet_apply_fn, latents, t, context, step_ctrl, added):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("unet", "use_flash", "collect_records", "has_blend"),
+    static_argnames=(
+        "unet", "use_flash", "collect_records", "has_blend", "store_mode"
+    ),
 )
 def _denoise_scan(
     unet,
@@ -80,6 +82,7 @@ def _denoise_scan(
     use_flash: bool,
     collect_records: bool,
     has_blend: bool,
+    store_mode: Optional[str],  # None | 'sum' (LocalBlend) | 'last' (MaskAuto)
 ):
     p = latents.shape[0]
     steps = sched.num_steps
@@ -93,9 +96,9 @@ def _denoise_scan(
         u = jnp.broadcast_to(uncond_seq[i][None], (p,) + context.shape[1:])
         return jnp.concatenate([u.astype(context.dtype), context[p:]], axis=0)
 
-    # Initialize the blend store with correctly-shaped zeros.
+    # Initialize the carried record store with correctly-shaped zeros.
     store0: Dict[str, jnp.ndarray] = {}
-    if has_blend:
+    if store_mode is not None:
         shapes = jax.eval_shape(
             unet_fn,
             jnp.concatenate([latents] * 2),
@@ -108,6 +111,8 @@ def _denoise_scan(
     def step_fn(carry, i):
         lat, store = carry
         step_ctrl = ctrl.at_step(i)
+        if store_mode is not None:
+            step_ctrl = step_ctrl.bind_store(store, i)
         t = sched.timesteps[i]
         if source_replay is not None:
             # MasaCtrl's ref_intermediate_latents re-injection: the source
@@ -119,8 +124,11 @@ def _denoise_scan(
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         eps_g = eps_u + guidance_scale * (eps_c - eps_u)
         lat = ddim_step(sched, eps_g, i, lat)
-        if has_blend:
+        if store_mode == "sum":
             store = {k: store[k] + rec[k].astype(jnp.float32) for k in store}
+        elif store_mode == "last":
+            store = {k: rec[k].astype(jnp.float32) for k in store}
+        if has_blend:
             lat = blend(lat, store)
         ys = rec if collect_records else None
         return (lat, store), ys
@@ -149,6 +157,12 @@ def denoise(
     """
     if ctrl is None:
         ctrl = NoneControl()
+    if blend is not None:
+        store_mode = "sum"
+    elif getattr(ctrl, "wants_store", False):
+        store_mode = ctrl.store_mode
+    else:
+        store_mode = None
     return _denoise_scan(
         pipe.unet,
         pipe.unet_params,
@@ -164,4 +178,5 @@ def denoise(
         use_flash,
         collect_records,
         blend is not None,
+        store_mode,
     )

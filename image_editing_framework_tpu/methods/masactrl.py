@@ -18,6 +18,17 @@ from image_editing_framework_tpu.methods.base import denoise
 from image_editing_framework_tpu.ops.controls import build_masactrl_control
 
 
+def pca_direction(cond_embeddings: jnp.ndarray) -> jnp.ndarray:
+    """Top principal direction of (emb[-2] - emb[-1]) over the token axis —
+    the reference's ``kwds["dir"]`` feature (masactrl/model/sd_utils.py:56-59,
+    torch.pca_lowrank(dir.T, q=1, center=True)). Returns (77,)."""
+    d = cond_embeddings[-2] - cond_embeddings[-1]  # (77, D)
+    a = d.T.astype(jnp.float32)  # (D, 77)
+    a = a - a.mean(axis=0, keepdims=True)  # center columns
+    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    return vt[0]
+
+
 def masactrl_edit(
     pipe,
     prompts: Sequence[str],
@@ -26,16 +37,28 @@ def masactrl_edit(
     sampler: SamplerConfig = SamplerConfig(),
     uncond_seq: Optional[jnp.ndarray] = None,
     source_replay: Optional[jnp.ndarray] = None,  # inversion trajectory
+    direction_scale: Optional[float] = None,  # the reference's kwds["dir"]
+    mask_s=None,
+    mask_t=None,
+    auto_mask: bool = False,
+    thres: float = 0.1,
+    ref_token_idx=(1,),
+    cur_token_idx=(1,),
     use_flash: bool = True,
 ) -> np.ndarray:
     p = len(prompts)
     s = pipe.scheduler.num_steps
     ctrl = build_masactrl_control(
-        s, pipe.unet.config.num_transformer_blocks, cfg, num_prompts=p
+        s, pipe.unet.config.num_transformer_blocks, cfg, num_prompts=p,
+        mask_s=mask_s, mask_t=mask_t, auto_mask=auto_mask, thres=thres,
+        ref_token_idx=tuple(ref_token_idx), cur_token_idx=tuple(cur_token_idx),
     )
     context, added_cond = common.prepare_conditioning(
         pipe, prompts, sampler.height, sampler.width
     )
+    if direction_scale is not None:
+        v = pca_direction(context[p:]).astype(context.dtype)
+        context = context.at[-1].add(direction_scale * v[:, None])
     latents0 = common.expand_latent(latent, p)
     final, _ = denoise(
         pipe,

@@ -54,6 +54,12 @@ class NoneStep:
         None means use the plan/flash path. Static per control type."""
         return None
 
+    def bind_store(self, store, step_index):
+        """Receive the denoise loop's carried record store (MaskAuto derives
+        its masks from the previous step's cross-attention maps)."""
+        del store, step_index
+        return self
+
     def edit_cross(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
         return probs
 
@@ -298,6 +304,95 @@ class MasaCtrlMaskStep(MasaCtrlStep):
 
 
 @struct.dataclass
+class MasaCtrlAutoStep(MasaCtrlStep):
+    """Auto-masked MasaCtrl (masactrl/model/attention_control.py:192-330):
+    fg/bg masks are *derived* from res-16 cross-attention maps of selected
+    tokens rather than supplied.
+
+    TPU design note: the reference aggregates maps recorded earlier in the
+    same forward pass; here masks come from the **previous denoising step's**
+    full-pass average (bound by the scan via ``bind_store``) — a one-step lag
+    that keeps the program a pure scan. The maps evolve slowly across the 50
+    steps, and gating starts at step >= 4, so the lagged mask is essentially
+    identical in practice.
+    """
+
+    thres: float = struct.field(pytree_node=False, default=0.1)
+    ref_idx: Tuple[int, ...] = struct.field(pytree_node=False, default=(1,))
+    cur_idx: Tuple[int, ...] = struct.field(pytree_node=False, default=(1,))
+    mask_s16: jnp.ndarray = None  # (256,) normalized source-token map
+    mask_t16: jnp.ndarray = None  # (256,) normalized target-token map
+    has_mask: jnp.ndarray = None  # () bool
+
+    def record_key(self, site: AttnSite) -> Optional[str]:
+        if site.is_cross and site.seq_len == 256:
+            return site.key
+        return None
+
+    def record(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
+        return probs.mean(axis=1)  # (2P, 256, 77), mean over heads
+
+    def bind_store(self, store, step_index):
+        if not store:
+            return self
+        avg = jnp.mean(jnp.stack(list(store.values())), axis=0)  # (2P,256,77)
+
+        def token_map(idx):
+            img = avg[..., jnp.asarray(idx)].sum(-1)  # (2P, 256)
+            lo = img.min(axis=1, keepdims=True)
+            hi = img.max(axis=1, keepdims=True)
+            return (img - lo) / jnp.maximum(hi - lo, 1e-8)
+
+        p = self.num_prompts
+        mask_s = token_map(self.ref_idx)[p]  # conditional source (mask[-2])
+        mask_t = token_map(self.cur_idx)[2 * p - 1]  # conditional target
+        return self.replace(
+            mask_s16=mask_s, mask_t16=mask_t, has_mask=jnp.asarray(step_index > 0)
+        )
+
+    def _resize(self, m16: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+        side = int(seq_len**0.5)
+        return jax.image.resize(m16.reshape(16, 16), (side, side), "nearest").reshape(-1)
+
+    def self_plan(self, site, batch):
+        return None  # all logic lives in self_override
+
+    def self_override(self, site: AttnSite, q, k, v):
+        if site.layer not in self.layers:
+            return None
+        from image_editing_framework_tpu.ops import attention as attn_ops
+        from image_editing_framework_tpu.ops.flash_attention import NEG_INF
+
+        b, h, n, d = q.shape
+        p = self.num_prompts
+        iota = jnp.arange(b, dtype=jnp.int32)
+        half_src = (iota // p) * p
+        k_src, v_src = k[half_src], v[half_src]
+
+        normal = attn_ops.self_attention(q, k, v, None, use_flash=False)
+        mutual = attn_ops.self_attention(q, k_src, v_src, None, use_flash=False)
+
+        ms = self._resize(self.mask_s16, n) if self.mask_s16 is not None else jnp.zeros(n)
+        mt = self._resize(self.mask_t16, n) if self.mask_t16 is not None else jnp.zeros(n)
+        ms_bin = (ms >= self.thres).astype(jnp.float32)
+        mt_bin = (mt >= self.thres).astype(jnp.float32)
+        bias_fg = jnp.broadcast_to(jnp.where(ms_bin > 0.5, 0.0, NEG_INF)[None], (b, n))
+        bias_bg = jnp.broadcast_to(jnp.where(ms_bin > 0.5, NEG_INF, 0.0)[None], (b, n))
+        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg, use_flash=False)
+        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg, use_flash=False)
+        masked = out_fg * mt_bin[None, None, :, None] + out_bg * (
+            1.0 - mt_bin[None, None, :, None]
+        )
+
+        has_mask = self.has_mask if self.has_mask is not None else jnp.asarray(False)
+        target_out = jnp.where(
+            self.step_gate, jnp.where(has_mask, masked, mutual), normal
+        )
+        is_target = ((iota % p) != 0)[:, None, None, None]
+        return jnp.where(is_target, target_out, normal)
+
+
+@struct.dataclass
 class MasaCtrlControl:
     step_gate: jnp.ndarray  # (num_steps,)
     layers: Tuple[int, ...] = struct.field(pytree_node=False, default=())
@@ -305,8 +400,34 @@ class MasaCtrlControl:
     union: bool = struct.field(pytree_node=False, default=False)
     mask_s: Optional[jnp.ndarray] = None
     mask_t: Optional[jnp.ndarray] = None
+    auto_mask: bool = struct.field(pytree_node=False, default=False)
+    thres: float = struct.field(pytree_node=False, default=0.1)
+    ref_idx: Tuple[int, ...] = struct.field(pytree_node=False, default=(1,))
+    cur_idx: Tuple[int, ...] = struct.field(pytree_node=False, default=(1,))
+
+    # store protocol for the denoise scan (MaskAuto needs last-step maps)
+    @property
+    def wants_store(self) -> bool:
+        return self.auto_mask
+
+    @property
+    def store_mode(self) -> str:
+        return "last"
 
     def at_step(self, i) -> MasaCtrlStep:
+        if self.auto_mask:
+            return MasaCtrlAutoStep(
+                step_gate=self.step_gate[i],
+                layers=self.layers,
+                num_prompts=self.num_prompts,
+                union=self.union,
+                thres=self.thres,
+                ref_idx=self.ref_idx,
+                cur_idx=self.cur_idx,
+                mask_s16=jnp.zeros(256),
+                mask_t16=jnp.zeros(256),
+                has_mask=jnp.asarray(False),
+            )
         if self.mask_s is not None:
             return MasaCtrlMaskStep(
                 step_gate=self.step_gate[i],
@@ -331,6 +452,10 @@ def build_masactrl_control(
     num_prompts: int = 2,
     mask_s: Optional[jnp.ndarray] = None,
     mask_t: Optional[jnp.ndarray] = None,
+    auto_mask: bool = False,
+    thres: float = 0.1,
+    ref_token_idx: Tuple[int, ...] = (1,),
+    cur_token_idx: Tuple[int, ...] = (1,),
 ) -> MasaCtrlControl:
     steps = np.zeros(num_steps, dtype=bool)
     steps[cfg.start_step :] = True
@@ -342,6 +467,10 @@ def build_masactrl_control(
         union=(cfg.mode == "union"),
         mask_s=None if mask_s is None else jnp.asarray(mask_s, jnp.float32),
         mask_t=None if mask_t is None else jnp.asarray(mask_t, jnp.float32),
+        auto_mask=auto_mask,
+        thres=thres,
+        ref_idx=tuple(ref_token_idx),
+        cur_idx=tuple(cur_token_idx),
     )
 
 

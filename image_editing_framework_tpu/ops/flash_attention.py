@@ -89,7 +89,7 @@ def _fwd_kernel(
         preferred_element_type=jnp.float32, precision=precision,
     )
     s *= sm_scale
-    s += bias_ref[0][None, :]  # additive per-key logit bias (segment masks)
+    s += bias_ref[0, 0][None, :]  # additive per-key logit bias (segment masks)
 
     # Mask padded KV rows (when kv_len is not a multiple of block_k).
     if kv_len % block_k != 0:
@@ -118,7 +118,7 @@ def _fwd_kernel(
         o_ref[0] = (acc_scr[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)).astype(
             o_ref.dtype
         )
-        lse_ref[0, :] = (m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37)))
+        lse_ref[0, 0, :] = (m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37)))
 
 
 def _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, kv_len):
@@ -129,18 +129,18 @@ def _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, kv_len):
         functools.partial(_fwd_kernel, sm_scale=sm_scale, kv_len=kv_len, block_k=bk),
         out_shape=(
             jax.ShapeDtypeStruct((bh, nq, dp), qf.dtype),
-            jax.ShapeDtypeStruct((bh, nq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, nq), jnp.float32),
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bk), lambda b, qi, ki: (b, ki)),
+            pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b, 0, ki)),
         ],
         out_specs=(
             pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, qi, ki: (b, 0, qi)),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -181,16 +181,16 @@ def _bwd_dq_kernel(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     ) * sm_scale
-    s += bias_ref[0][None, :]
+    s += bias_ref[0, 0][None, :]
     if kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, None])  # (bq, bk)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # (bq, bk)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )  # (bq, bk)
-    ds = p * (dp - di_ref[0][:, None]) * sm_scale
+    ds = p * (dp - di_ref[0, 0][:, None]) * sm_scale
     acc_scr[...] += jax.lax.dot(
         ds.astype(k.dtype), k, preferred_element_type=jnp.float32,
         precision=precision,
@@ -224,8 +224,8 @@ def _bwd_dkv_kernel(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     ) * sm_scale
-    s += bias_ref[0][None, :]
-    p = jnp.exp(s - lse_ref[0][:, None])  # (bq, bk)
+    s += bias_ref[0, 0][None, :]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # (bq, bk)
     dv_scr[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
@@ -234,7 +234,7 @@ def _bwd_dkv_kernel(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
-    ds = p * (dp - di_ref[0][:, None]) * sm_scale  # (bq, bk)
+    ds = p * (dp - di_ref[0, 0][:, None]) * sm_scale  # (bq, bk)
     dk_scr[...] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
@@ -249,7 +249,7 @@ def _bwd_dkv_kernel(
 def _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, kv_len):
     bh, nq, dp = qf.shape
     nk_pad = kf.shape[1]
-    di = jnp.sum(of.astype(jnp.float32) * do_f.astype(jnp.float32), axis=-1)  # (bh, nq)
+    di = jnp.sum(of.astype(jnp.float32) * do_f.astype(jnp.float32), axis=-1)[:, None, :]  # (bh, 1, nq)
 
     dq = pl.pallas_call(
         functools.partial(
@@ -261,10 +261,10 @@ def _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, kv_len):
             pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bk), lambda b, qi, ki: (b, ki)),
+            pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b, 0, ki)),
             pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),
-            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, qi, ki: (b, 0, qi)),
         ],
         out_specs=pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
         scratch_shapes=[pltpu.VMEM((bq, dp), jnp.float32)],
@@ -285,10 +285,10 @@ def _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, kv_len):
             pl.BlockSpec((1, bq, dp), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, bk, dp), lambda b, ki, qi: (b, ki, 0)),
             pl.BlockSpec((1, bk, dp), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, bk), lambda b, ki, qi: (b, ki)),
+            pl.BlockSpec((1, 1, bk), lambda b, ki, qi: (b, 0, ki)),
             pl.BlockSpec((1, bq, dp), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, bq), lambda b, ki, qi: (b, qi)),
-            pl.BlockSpec((1, bq), lambda b, ki, qi: (b, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, ki, qi: (b, 0, qi)),
         ],
         out_specs=(
             pl.BlockSpec((1, bk, dp), lambda b, ki, qi: (b, ki, 0)),
@@ -328,10 +328,10 @@ def _prep(q, k, v, bias, block_q, block_k):
     qf = q.reshape(b * h, nq, dp)
     kf = k.reshape(b * h, nk_pad, dp)
     vf = v.reshape(b * h, nk_pad, dp)
-    # bias: (B, Nk) per-key logit bias, broadcast over heads.
+    # bias: (B, Nk) per-key logit bias, broadcast over heads -> (BH, 1, Nk).
     biasf = jnp.broadcast_to(
         _pad_to(bias.astype(jnp.float32), 1, bk)[:, None, :], (b, h, nk_pad)
-    ).reshape(b * h, nk_pad)
+    ).reshape(b * h, 1, nk_pad)
     return qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk)
 
 

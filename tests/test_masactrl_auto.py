@@ -1,0 +1,72 @@
+"""Auto-masked MasaCtrl (cross-attention-derived masks) through the scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_editing_framework_tpu.core.config import MasaCtrlConfig, SamplerConfig
+from image_editing_framework_tpu.methods.masactrl import masactrl_edit
+from image_editing_framework_tpu.ops import controls
+from image_editing_framework_tpu.ops.attention import AttnSite
+from image_editing_framework_tpu.pipelines import tiny_pipeline
+
+
+def test_auto_step_bind_and_override():
+    ctrl = controls.build_masactrl_control(
+        50, 16, MasaCtrlConfig(start_step=4, start_layer=10), auto_mask=True,
+        ref_token_idx=(1,), cur_token_idx=(1,),
+    )
+    assert ctrl.wants_store and ctrl.store_mode == "last"
+    step = ctrl.at_step(10)
+    assert isinstance(step, controls.MasaCtrlAutoStep)
+
+    # recording: cross res16 sites only
+    cross16 = AttnSite(layer=4, place="down", seq_len=256, is_cross=True)
+    cross32 = AttnSite(layer=2, place="down", seq_len=1024, is_cross=True)
+    assert step.record_key(cross16) == cross16.key
+    assert step.record_key(cross32) is None
+    probs = jax.random.uniform(jax.random.PRNGKey(0), (4, 8, 256, 77))
+    rec = step.record(cross16, probs)
+    assert rec.shape == (4, 256, 77)
+
+    # binding derives normalized masks from the store
+    store = {"a": rec, "b": rec * 2.0}
+    bound = step.bind_store(store, 5)
+    assert bound.mask_s16.shape == (256,)
+    assert float(bound.mask_s16.max()) == 1.0 and float(bound.mask_s16.min()) == 0.0
+    assert bool(bound.has_mask)
+
+    # override produces output of the right shape and modifies only targets
+    q, k, v = (
+        jax.random.normal(kk, (4, 2, 256, 16))
+        for kk in jax.random.split(jax.random.PRNGKey(1), 3)
+    )
+    site = AttnSite(layer=12, place="up", seq_len=256, is_cross=False)
+    out = bound.self_override(site, q, k, v)
+    d = q.shape[-1]
+
+    def plain(b):
+        s = jnp.einsum("hqd,hkd->hqk", q[b], k[b]) / jnp.sqrt(d)
+        p = jax.nn.softmax(s.astype(jnp.float32), -1)
+        return jnp.einsum("hqk,hkd->hqd", p.astype(v.dtype), v[b])
+
+    for b in [0, 2]:
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(plain(b)), atol=1e-5)
+    assert float(jnp.abs(out[1] - plain(1)).max()) > 1e-4
+
+    # unbound (step 0 / no store): targets fall back to mutual when gated
+    site_l = AttnSite(layer=12, place="up", seq_len=256, is_cross=False)
+    out0 = step.self_override(site_l, q, k, v)
+    assert out0.shape == q.shape
+
+
+def test_auto_mask_end_to_end():
+    pipe = tiny_pipeline(num_steps=4)
+    lat = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4))
+    img = masactrl_edit(
+        pipe, ["a cat", "a standing cat"], lat,
+        MasaCtrlConfig(start_step=1, start_layer=2),
+        SamplerConfig(height=32, width=32),
+        auto_mask=True,
+    )
+    assert img.shape == (2, 32, 32, 3)

@@ -1,0 +1,93 @@
+"""SDXL-path end-to-end slices on the tiny XL pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_editing_framework_tpu.core.config import (
+    MasaCtrlConfig,
+    NTIConfig,
+    P2PConfig,
+    SamplerConfig,
+)
+from image_editing_framework_tpu.inversion.ddim import ddim_invert
+from image_editing_framework_tpu.inversion.nti import null_text_inversion
+from image_editing_framework_tpu.methods.base import denoise
+from image_editing_framework_tpu.methods import common
+from image_editing_framework_tpu.methods.masactrl import masactrl_edit
+from image_editing_framework_tpu.methods.p2p import p2p_edit
+from image_editing_framework_tpu.pipelines import tiny_pipeline
+
+SAMPLER = SamplerConfig(height=128, width=128)
+
+
+@pytest.fixture(scope="module")
+def xl():
+    return tiny_pipeline(num_steps=4, model_type="xl")
+
+
+def test_xl_encode_prompts(xl):
+    ctx, added = xl.encode_prompts(["a cat", "a dog"])
+    assert ctx.shape == (4, 77, 32)
+    assert added["text_embeds"].shape == (4, 16)
+    # force-zeros uncond
+    np.testing.assert_array_equal(np.asarray(ctx[:2]), 0)
+    np.testing.assert_array_equal(np.asarray(added["text_embeds"][:2]), 0)
+
+
+def test_xl_sampling_and_inversion(xl):
+    ctx, added = common.prepare_conditioning(xl, ["a cat"], 128, 128)
+    lat0 = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4)) * 0.1
+    final, _ = denoise(xl, lat0, ctx, guidance_scale=7.5, added_cond=added)
+    assert bool(jnp.isfinite(final).all())
+
+    last, traj, context, _ = ddim_invert(xl, lat0, "a cat")
+    assert traj.shape == (5, 1, 16, 16, 4)
+    # exact per-step inverse through the XL UNet (with added conds)
+    from image_editing_framework_tpu.core.scheduler import ddim_step
+
+    sched = xl.scheduler
+    added1 = {
+        "text_embeds": xl.encode_prompts(["a cat"])[1]["text_embeds"][1:],
+        "time_ids": xl.add_time_ids(128, 128, 1),
+    }
+    for j in [0, 3]:
+        t = sched.timesteps[sched.num_steps - 1 - j]
+        eps, _ = xl.unet_apply(traj[j], t, context[1:], None, added1)
+        back = ddim_step(sched, eps, sched.num_steps - 1 - j, traj[j + 1])
+        np.testing.assert_allclose(np.asarray(back), np.asarray(traj[j]), atol=1e-4)
+
+
+def test_xl_nti_reset_variant(xl):
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4)) * 0.1
+    last, traj, context, _ = ddim_invert(xl, lat, "a cat")
+    added1 = {
+        "text_embeds": xl.encode_prompts(["a cat"])[1]["text_embeds"][1:],
+        "time_ids": xl.add_time_ids(128, 128, 1),
+    }
+    uncond_seq = null_text_inversion(
+        xl, traj, context, NTIConfig(num_inner_steps=3, base_lr=5e-2),
+        guidance_scale=7.5, added_cond=added1,
+    )
+    assert uncond_seq.shape == (4, 77, 32)
+    assert bool(jnp.isfinite(uncond_seq).all())
+
+
+def test_xl_p2p_edit(xl):
+    lat = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4))
+    img = p2p_edit(
+        xl, ["a cat sat", "a dog sat"], lat, P2PConfig(edit_type="replace"), SAMPLER
+    )
+    assert img.shape == (2, 32, 32, 3)
+
+
+def test_xl_masactrl_edit(xl):
+    lat = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4))
+    # tiny XL has 3 transformer blocks (1 down cross w/ 2 layers + ... )
+    nblocks = xl.unet.config.num_transformer_blocks
+    img = masactrl_edit(
+        xl, ["a cat", "a standing cat"], lat,
+        MasaCtrlConfig(start_step=1, start_layer=max(0, nblocks - 2)), SAMPLER,
+    )
+    assert img.shape == (2, 32, 32, 3)
