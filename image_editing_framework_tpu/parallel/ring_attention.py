@@ -95,7 +95,6 @@ def ring_self_attention(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
     )(q, k, v)
 
 
@@ -141,5 +140,4 @@ def ulysses_self_attention(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
     )(q, k, v)
