@@ -51,7 +51,17 @@ def run_sweep(
     shard_count: int = 1,
     max_items: Optional[int] = None,
     resolution: Optional[int] = None,
+    batch_size: int = 1,
+    save_inversions: Optional[str] = None,
 ) -> dict:
+    """``batch_size`` > 1 (p2p + ddim inversion only) edits image groups as
+    one vmapped program — the throughput mode the reference's hook design
+    precludes. ``save_inversions`` writes the per-image inversion artifacts
+    the reference's PIE_NTI_Inversion dataset consumes (the producer it
+    lacks, p2p/dataset/pie.py:44-51)."""
+    if batch_size > 1 and (method != "p2p" or inversion_type != "ddim"):
+        raise ValueError("batched sweep currently supports p2p + ddim")
+
     from image_editing_framework_tpu.cli import invert, run_method
 
     res = resolution or (1024 if pipe.model_type == "xl" else 512)
@@ -59,16 +69,66 @@ def run_sweep(
     times = []
     done = skipped = 0
     t_start = time.perf_counter()
+    pending = []
     for category in categories:
         data = PIE(dataset_path, category)
-        items = data.items[shard_index::shard_count]
-        for item in items:
-            if max_items is not None and done + skipped >= max_items:
+        for item in data.items[shard_index::shard_count]:
+            if max_items is not None and len(pending) + skipped >= max_items:
                 break
             out_dir = os.path.join(exp_path, item.key)
             if resume and os.path.exists(os.path.join(out_dir, "edit.png")):
                 skipped += 1
                 continue
+            pending.append(item)
+
+    def finish(item, inv_img, edit_img, elapsed):
+        out_dir = os.path.join(exp_path, item.key)
+        save_img(inv_img, os.path.join(out_dir, "inversion.png"))
+        save_img(edit_img, os.path.join(out_dir, "edit.png"))
+        times.append(elapsed)
+
+    if batch_size > 1:
+        import jax.numpy as jnp
+
+        from image_editing_framework_tpu.data.pie import save_inversion
+        from image_editing_framework_tpu.eval.batched import (
+            ddim_invert_batch,
+            p2p_edit_batch,
+        )
+
+        for g0 in range(0, len(pending), batch_size):
+            group = pending[g0 : g0 + batch_size]
+            t0 = time.perf_counter()
+            lats = []
+            for item in group:
+                os.makedirs(os.path.join(exp_path, item.key), exist_ok=True)
+                image = load_image(item.image_path, res, res)
+                save_img(image, os.path.join(exp_path, item.key, "source.png"))
+                lats.append(pipe.image2latent(image))
+            lats = jnp.stack(lats)  # (G, 1, h, w, 4)
+            inverted = ddim_invert_batch(
+                pipe, lats, [it.source_prompt for it in group]
+            )
+            if save_inversions:
+                for item, latv in zip(group, inverted):
+                    save_inversion(save_inversions, item.key, latv)
+            pairs = [[it.source_prompt, it.target_prompt] for it in group]
+            cfgs = [
+                (method_kwargs or {}).get(
+                    "config", _auto_p2p_config(it.source_prompt, it.target_prompt)
+                )
+                for it in group
+            ]
+            imgs = p2p_edit_batch(
+                pipe, pairs, inverted, cfgs, sampler.guidance_scale
+            )
+            tg = (time.perf_counter() - t0) / len(group)
+            for item, pair_imgs in zip(group, imgs):
+                finish(item, pair_imgs[0], pair_imgs[1], tg)
+            done += len(group)
+    else:
+        for item in pending:
+            out_dir = os.path.join(exp_path, item.key)
             os.makedirs(out_dir, exist_ok=True)
             t0 = time.perf_counter()
             image = load_image(item.image_path, res, res)
@@ -76,6 +136,10 @@ def run_sweep(
             latent, _, uncond_seq = invert(
                 pipe, image, item.source_prompt, inversion_type, method
             )
+            if save_inversions:
+                from image_editing_framework_tpu.data.pie import save_inversion
+
+                save_inversion(save_inversions, item.key, latent, uncond_seq)
             kw = dict(method_kwargs or {})
             if method == "p2p" and "config" not in kw:
                 kw["config"] = _auto_p2p_config(item.source_prompt, item.target_prompt)
@@ -83,9 +147,7 @@ def run_sweep(
                 method, pipe, [item.source_prompt, item.target_prompt], latent,
                 sampler, uncond_seq, kw,
             )
-            save_img(inv_img, os.path.join(out_dir, "inversion.png"))
-            save_img(edit_img, os.path.join(out_dir, "edit.png"))
-            times.append(time.perf_counter() - t0)
+            finish(item, inv_img, edit_img, time.perf_counter() - t0)
             done += 1
     wall = time.perf_counter() - t_start
     stats = {

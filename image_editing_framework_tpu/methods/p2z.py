@@ -41,13 +41,23 @@ def _guided_scan(
     guidance_scale,
     guidance_amount,
     added_cond,
+    uncond_seq,  # (S, 77, D) per-step NTI embeddings or None
     use_flash: bool,
 ):
     step_ctrl = P2ZStep()
 
-    def attn_loss(x_in, t, ref_t):
+    def make_context(i):
+        if uncond_seq is None:
+            return context
+        # NTI variant swaps the optimized uncond in per step
+        # (pix2pix-zero/model/sd_utils.py P2P_Zero_NTI:518,582).
+        return jnp.concatenate(
+            [uncond_seq[i][None].astype(context.dtype), context[1:]], axis=0
+        )
+
+    def attn_loss(x_in, t, ctx, ref_t):
         _, rec = unet.apply(
-            unet_params, x_in, t, context, step_ctrl, added_cond, use_flash
+            unet_params, x_in, t, ctx, step_ctrl, added_cond, use_flash
         )
         # reference: sum((curr - ref)^2 over (N, 77)), mean over batch*heads
         # (pix2pix-zero/model/sd_utils.py:166-172).
@@ -61,11 +71,12 @@ def _guided_scan(
 
     def step_fn(lat, i):
         t = sched.timesteps[i]
+        ctx = make_context(i)
         ref_t = {k: v[i] for k, v in refs.items()}
         x_in = jnp.concatenate([lat] * 2, axis=0)
-        g = grad_fn(x_in, t, ref_t)
+        g = grad_fn(x_in, t, ctx, ref_t)
         x_in = x_in - guidance_amount * g  # SGD step (lr = guidance_amount)
-        eps, _ = unet.apply(unet_params, x_in, t, context, None, added_cond, use_flash)
+        eps, _ = unet.apply(unet_params, x_in, t, ctx, None, added_cond, use_flash)
         # reference: latents = x_in.chunk(2)[0] (sd_utils.py:180)
         lat = x_in[:1]
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
@@ -114,10 +125,6 @@ def p2z_edit(
     )
     if edit_dir is not None:
         ctx_tgt = ctx_tgt + edit_dir
-    if uncond_seq is not None:
-        # NTI variant swaps the optimized uncond in per step; reuse base loop
-        # semantics by folding step-0 uncond here and passing the sequence on.
-        pass
     final = _guided_scan(
         pipe.unet,
         pipe.unet_params,
@@ -128,6 +135,7 @@ def p2z_edit(
         jnp.asarray(sampler.guidance_scale, latent.dtype),
         jnp.asarray(cfg.guidance_amount, latent.dtype),
         added_tgt,
+        uncond_seq,
         use_flash,
     )
     return image_rec, pipe.latent2image(final)

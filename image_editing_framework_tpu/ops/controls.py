@@ -542,6 +542,47 @@ def build_pnp_control(
 
 
 # ---------------------------------------------------------------------------
+# Attention store (visualization / analysis)
+
+
+@struct.dataclass
+class AttentionStoreStep(NoneStep):
+    """Records attention maps for visualization — the reference's
+    AttentionStore (p2p/model/attention_base.py:57-92: stores maps <= 32^2
+    tokens, per-step, then averages across steps). Use with
+    ``denoise(..., collect_records=True)`` and average the stacked ys with
+    ``average_attention``. Maps are mean-over-heads to bound memory."""
+
+    max_seq: int = struct.field(pytree_node=False, default=1024)
+    include_self: bool = struct.field(pytree_node=False, default=True)
+
+    def record_key(self, site: AttnSite) -> Optional[str]:
+        if site.seq_len > self.max_seq:
+            return None
+        if not site.is_cross and not self.include_self:
+            return None
+        return site.key
+
+    def record(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
+        return probs.mean(axis=1)  # (B, N, K), mean over heads
+
+
+@struct.dataclass
+class AttentionStoreControl(AttentionStoreStep):
+    def at_step(self, i) -> AttentionStoreStep:
+        del i
+        return AttentionStoreStep(
+            max_seq=self.max_seq, include_self=self.include_self
+        )
+
+
+def average_attention(ys: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Per-site step-averaged maps (reference get_average_attention,
+    p2p/model/attention_base.py:84-86). ys: {site: (S, B, N, K)}."""
+    return {k: v.mean(axis=0) for k, v in ys.items()}
+
+
+# ---------------------------------------------------------------------------
 # pix2pix-zero
 
 

@@ -91,3 +91,25 @@ def test_precomputed_inversion_cache(mini_pie, tmp_path):
     ds = PIEPrecomputedInversion(mini_pie, inv, category=0)
     latent, uncond = ds.load_inversion(ds[0])
     assert latent.shape == (1, 8, 8, 4) and uncond.shape == (4, 77, 32)
+
+
+def test_sweep_batched_mode(mini_pie, tmp_path):
+    pipe = tiny_pipeline(num_steps=4)
+    exp = str(tmp_path / "exp_batched")
+    inv = str(tmp_path / "inv_cache")
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, exp, inversion_type="ddim", categories=(0,),
+        resolution=32, batch_size=2, save_inversions=inv,
+    )
+    assert stats["images_done"] == 3  # 2 + remainder group of 1
+    import numpy as np
+    done_dirs = sorted(os.listdir(os.path.join(exp, "0_random")))
+    assert len(done_dirs) == 3
+    for d in done_dirs:
+        for f in ("source.png", "inversion.png", "edit.png"):
+            assert os.path.exists(os.path.join(exp, "0_random", d, f))
+    # inversion artifacts saved
+    arts = sorted(os.listdir(os.path.join(inv, "0_random")))
+    assert len(arts) == 3
+    data = np.load(os.path.join(inv, "0_random", arts[0], "inversion.npz"))
+    assert data["latent"].shape == (1, 16, 16, 4)  # 32px / tiny-VAE /2
