@@ -197,8 +197,57 @@ def convert_ldm_vae(
     return out
 
 
+def convert_open_clip_text(
+    state: Mapping[str, np.ndarray], prefix: str
+) -> Dict[str, np.ndarray]:
+    """open_clip text-tower naming -> transformers CLIPTextModel naming.
+
+    Used by SD2.x single files (``cond_stage_model.model.*``) and the SDXL
+    second tower (``conditioner.embedders.1.model.*``). The fused
+    ``attn.in_proj_weight/bias`` splits into q/k/v thirds;
+    ``text_projection`` is stored as x@W (D, P) and transposes to the
+    transformers Linear convention.
+    """
+    sub = {k[len(prefix):]: np.asarray(v) for k, v in state.items()
+           if k.startswith(prefix)}
+    if not sub:
+        return {}
+    out: Dict[str, np.ndarray] = {}
+    out["text_model.embeddings.token_embedding.weight"] = sub["token_embedding.weight"]
+    out["text_model.embeddings.position_embedding.weight"] = sub["positional_embedding"]
+    out["text_model.final_layer_norm.weight"] = sub["ln_final.weight"]
+    out["text_model.final_layer_norm.bias"] = sub["ln_final.bias"]
+    if "text_projection" in sub:
+        out["text_projection.weight"] = sub["text_projection"].T
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sub:
+        src = f"transformer.resblocks.{i}"
+        dst = f"text_model.encoder.layers.{i}"
+        for a, b in (("ln_1", "layer_norm1"), ("ln_2", "layer_norm2")):
+            out[f"{dst}.{b}.weight"] = sub[f"{src}.{a}.weight"]
+            out[f"{dst}.{b}.bias"] = sub[f"{src}.{a}.bias"]
+        w = sub[f"{src}.attn.in_proj_weight"]
+        bia = sub[f"{src}.attn.in_proj_bias"]
+        d = w.shape[0] // 3
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            out[f"{dst}.self_attn.{name}.weight"] = w[j * d : (j + 1) * d]
+            out[f"{dst}.self_attn.{name}.bias"] = bia[j * d : (j + 1) * d]
+        out[f"{dst}.self_attn.out_proj.weight"] = sub[f"{src}.attn.out_proj.weight"]
+        out[f"{dst}.self_attn.out_proj.bias"] = sub[f"{src}.attn.out_proj.bias"]
+        out[f"{dst}.mlp.fc1.weight"] = sub[f"{src}.mlp.c_fc.weight"]
+        out[f"{dst}.mlp.fc1.bias"] = sub[f"{src}.mlp.c_fc.bias"]
+        out[f"{dst}.mlp.fc2.weight"] = sub[f"{src}.mlp.c_proj.weight"]
+        out[f"{dst}.mlp.fc2.bias"] = sub[f"{src}.mlp.c_proj.bias"]
+        i += 1
+    return out
+
+
 def convert_ldm_text(state: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """cond_stage_model.transformer.* already matches transformers naming."""
+    """LDM text encoder -> transformers naming.
+
+    SD1.x: ``cond_stage_model.transformer.*`` is already transformers naming.
+    SD2.x: ``cond_stage_model.model.*`` uses open_clip naming.
+    """
     prefix = "cond_stage_model.transformer."
     out = {
         k[len(prefix):]: np.asarray(v)
@@ -207,9 +256,37 @@ def convert_ldm_text(state: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     }
     if out:
         return out
-    # SD2.x single-file uses cond_stage_model.model.* (open_clip naming) —
-    # handled in a follow-up; SDXL single-file uses conditioner.embedders.
-    raise KeyError("no cond_stage_model.transformer.* keys found")
+    out = convert_open_clip_text(state, "cond_stage_model.model.")
+    if out:
+        return out
+    raise KeyError("no recognizable text-encoder keys found")
+
+
+def convert_single_file_xl(
+    path: str, unet_cfg: UNetConfig, vae_cfg: VAEConfig
+) -> Tuple[
+    Dict[str, np.ndarray], Dict[str, np.ndarray],
+    Dict[str, np.ndarray], Dict[str, np.ndarray],
+]:
+    """SDXL single-file layout: returns (unet, vae, text1, text2) dicts.
+
+    text1 = ``conditioner.embedders.0.transformer.*`` (CLIP-L, transformers
+    naming already); text2 = ``conditioner.embedders.1.model.*`` (open_clip
+    bigG with text_projection).
+    """
+    from image_editing_framework_tpu.models.loader import load_safetensors
+
+    state = load_safetensors(path)
+    state = {k: state[k] for k in state.keys()}
+    p1 = "conditioner.embedders.0.transformer."
+    text1 = {k[len(p1):]: np.asarray(v) for k, v in state.items() if k.startswith(p1)}
+    text2 = convert_open_clip_text(state, "conditioner.embedders.1.model.")
+    return (
+        convert_ldm_unet(state, unet_cfg),
+        convert_ldm_vae(state, vae_cfg),
+        text1,
+        text2,
+    )
 
 
 def convert_single_file(

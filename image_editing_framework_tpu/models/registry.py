@@ -93,22 +93,25 @@ def load_pipeline(
     spec = VERSION_SPECS[sd_version]
     root = path or sd_mapping.sd_maps[sd_version]
     single_file = root.endswith(".safetensors")
+    text2_ckpt = None
     if single_file:
-        if spec.model_type == "xl":
-            raise NotImplementedError(
-                "single-file SDXL checkpoints (conditioner.embedders.* text "
-                "towers) are a follow-up; SD1.x single files are supported"
-            )
-        from image_editing_framework_tpu.models.convert_ldm import convert_single_file
+        from image_editing_framework_tpu.models import convert_ldm
 
         vae_cfg_tmp = VAEConfig(scaling_factor=spec.vae_scaling)
-        unet_ckpt, vae_ckpt, text_ckpt = convert_single_file(
-            root, spec.unet, vae_cfg_tmp
-        )
-        # tokenizer files must sit next to the single file or in sd_maps["1.5"]
+        if spec.model_type == "xl":
+            unet_ckpt, vae_ckpt, text_ckpt, text2_ckpt = (
+                convert_ldm.convert_single_file_xl(root, spec.unet, vae_cfg_tmp)
+            )
+        else:
+            unet_ckpt, vae_ckpt, text_ckpt = convert_ldm.convert_single_file(
+                root, spec.unet, vae_cfg_tmp
+            )
+        # tokenizer files must sit next to the single file or in the base
+        # registry entry for the family
+        base = "xl-base" if spec.model_type == "xl" else "1.5"
         tok_dir = os.path.join(os.path.dirname(root), "tokenizer")
         if not os.path.isdir(tok_dir):
-            tok_dir = os.path.join(sd_mapping.sd_maps["1.5"], "tokenizer")
+            tok_dir = os.path.join(sd_mapping.sd_maps[base], "tokenizer")
 
     is_xl = spec.model_type == "xl"
     unet = UNet2DCondition(spec.unet, dtype=dtype)
@@ -170,9 +173,16 @@ def load_pipeline(
         pipe.text_encoder_2 = text2
         pipe.text_params_2 = loader.load_params(
             _skeleton(text2, ids),
-            _weights(root, "text_encoder_2", "model"),
+            text2_ckpt if single_file else _weights(root, "text_encoder_2", "model"),
             loader.clip_key,
             dtype,
         )
-        pipe.tokenizer_2 = CLIPTokenizer.from_dir(os.path.join(root, "tokenizer_2"))
+        tok2 = (
+            tok_dir.replace("tokenizer", "tokenizer_2")
+            if single_file
+            else os.path.join(root, "tokenizer_2")
+        )
+        if not os.path.isdir(tok2):
+            tok2 = tok_dir if single_file else tok2
+        pipe.tokenizer_2 = CLIPTokenizer.from_dir(tok2)
     return pipe

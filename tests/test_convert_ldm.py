@@ -129,3 +129,48 @@ def test_text_prefix_strip():
     }
     out = convert_ldm.convert_ldm_text(state)
     assert list(out) == ["text_model.final_layer_norm.weight"]
+
+
+def test_open_clip_text_conversion_parity():
+    """transformers ckpt -> open_clip naming -> converter -> identical."""
+    rng = np.random.RandomState(0)
+    D, V, I = 32, 64, 64
+    tf = {}
+    oc = {}
+    oc["token_embedding.weight"] = tf[
+        "text_model.embeddings.token_embedding.weight"
+    ] = rng.randn(V, D).astype(np.float32)
+    oc["positional_embedding"] = tf[
+        "text_model.embeddings.position_embedding.weight"
+    ] = rng.randn(77, D).astype(np.float32)
+    for a, b in (("ln_final", "text_model.final_layer_norm"),):
+        oc[f"{a}.weight"] = tf[f"{b}.weight"] = rng.randn(D).astype(np.float32)
+        oc[f"{a}.bias"] = tf[f"{b}.bias"] = rng.randn(D).astype(np.float32)
+    proj = rng.randn(D, 16).astype(np.float32)
+    oc["text_projection"] = proj
+    tf["text_projection.weight"] = proj.T
+    for i in range(2):
+        src = f"transformer.resblocks.{i}"
+        dst = f"text_model.encoder.layers.{i}"
+        for a, b in (("ln_1", "layer_norm1"), ("ln_2", "layer_norm2")):
+            oc[f"{src}.{a}.weight"] = tf[f"{dst}.{b}.weight"] = rng.randn(D).astype(np.float32)
+            oc[f"{src}.{a}.bias"] = tf[f"{dst}.{b}.bias"] = rng.randn(D).astype(np.float32)
+        qkv_w = rng.randn(3 * D, D).astype(np.float32)
+        qkv_b = rng.randn(3 * D).astype(np.float32)
+        oc[f"{src}.attn.in_proj_weight"] = qkv_w
+        oc[f"{src}.attn.in_proj_bias"] = qkv_b
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            tf[f"{dst}.self_attn.{name}.weight"] = qkv_w[j * D : (j + 1) * D]
+            tf[f"{dst}.self_attn.{name}.bias"] = qkv_b[j * D : (j + 1) * D]
+        oc[f"{src}.attn.out_proj.weight"] = tf[f"{dst}.self_attn.out_proj.weight"] = rng.randn(D, D).astype(np.float32)
+        oc[f"{src}.attn.out_proj.bias"] = tf[f"{dst}.self_attn.out_proj.bias"] = rng.randn(D).astype(np.float32)
+        oc[f"{src}.mlp.c_fc.weight"] = tf[f"{dst}.mlp.fc1.weight"] = rng.randn(I, D).astype(np.float32)
+        oc[f"{src}.mlp.c_fc.bias"] = tf[f"{dst}.mlp.fc1.bias"] = rng.randn(I).astype(np.float32)
+        oc[f"{src}.mlp.c_proj.weight"] = tf[f"{dst}.mlp.fc2.weight"] = rng.randn(D, I).astype(np.float32)
+        oc[f"{src}.mlp.c_proj.bias"] = tf[f"{dst}.mlp.fc2.bias"] = rng.randn(D).astype(np.float32)
+
+    state = {f"cond_stage_model.model.{k}": v for k, v in oc.items()}
+    got = convert_ldm.convert_ldm_text(state)
+    assert set(got) == set(tf)
+    for k in tf:
+        np.testing.assert_array_equal(got[k], tf[k], err_msg=k)
