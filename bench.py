@@ -11,7 +11,8 @@ target: full PIE-Bench (700 images) under 10 min on a v4-8, i.e.
 600s * 8 chips / 700 images = 6.857 s per image per chip.
 vs_baseline = target_latency / measured  (>1 means beating the target).
 
-Prints ONE JSON line.
+Prints ONE JSON line. Set IEF_BENCH=xl for the SDXL 1024^2 workload
+(informational; the default SD1.5 metric is the tracked one).
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ TARGET_S_PER_IMAGE_PER_CHIP = 600.0 * 8 / 700.0  # 6.857 s
 
 
 def main() -> None:
+    import os
+
     from image_editing_framework_tpu.core.config import P2PConfig
     from image_editing_framework_tpu.core.scheduler import make_ddim_schedule
     from image_editing_framework_tpu.inversion.ddim import _invert_scan
@@ -40,13 +43,33 @@ def main() -> None:
     use_flash = jax.default_backend() == "tpu"
     sched = make_ddim_schedule(50)
 
-    unet = UNet2DCondition(configs.SD15_UNET, dtype=dtype)
-    lat1 = jnp.zeros((1, 64, 64, 4), dtype)
-    ctx1 = jnp.zeros((1, 77, 768), dtype)
-    params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat1, 0, ctx1)
+    is_xl = os.environ.get("IEF_BENCH") == "xl"
+    if is_xl:
+        unet_cfg, side, ctx_dim, metric = (
+            configs.SDXL_UNET, 128, 2048, "p2p_real_edit_latency_sdxl_1024"
+        )
+    else:
+        unet_cfg, side, ctx_dim, metric = (
+            configs.SD15_UNET, 64, 768, "p2p_real_edit_latency_sd15_512"
+        )
+
+    unet = UNet2DCondition(unet_cfg, dtype=dtype)
+    lat1 = jnp.zeros((1, side, side, 4), dtype)
+    ctx1 = jnp.zeros((1, 77, ctx_dim), dtype)
+    added1 = added4 = None
+    if is_xl:
+        tids = jnp.asarray([[side * 8, side * 8, 0, 0, side * 8, side * 8]], dtype)
+        added1 = {"text_embeds": jnp.zeros((1, 1280), dtype), "time_ids": tids}
+        added4 = {
+            "text_embeds": jnp.zeros((4, 1280), dtype),
+            "time_ids": jnp.broadcast_to(tids, (4, 6)),
+        }
+    from image_editing_framework_tpu.models.init_utils import fast_random_params
+
+    params = fast_random_params(unet, lat1, 0, ctx1, None, added1)
 
     vae = AutoencoderKL(VAEConfig(), dtype=dtype)
-    vae_params = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 512, 512, 3), dtype))
+    vae_params = fast_random_params(vae, jnp.zeros((1, side * 8, side * 8, 3), dtype), seed=1)
     decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
 
     ctrl = build_p2p_control(
@@ -55,18 +78,18 @@ def main() -> None:
         50,
         P2PConfig(edit_type="replace"),
     )
-    latent = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 4), dtype)
-    cond = jax.random.normal(jax.random.PRNGKey(3), (1, 77, 768), dtype)
-    context = jax.random.normal(jax.random.PRNGKey(4), (4, 77, 768), dtype)
+    latent = jax.random.normal(jax.random.PRNGKey(2), (1, side, side, 4), dtype)
+    cond = jax.random.normal(jax.random.PRNGKey(3), (1, 77, ctx_dim), dtype)
+    context = jax.random.normal(jax.random.PRNGKey(4), (4, 77, ctx_dim), dtype)
 
     def run_once():
-        last, _ = _invert_scan(unet, params, sched, latent, cond, None, use_flash)
-        lat2 = jnp.broadcast_to(last, (2, 64, 64, 4))
+        last, _ = _invert_scan(unet, params, sched, latent, cond, added1, use_flash)
+        lat2 = jnp.broadcast_to(last, (2, side, side, 4))
         final, _ = _denoise_scan(
             unet, params, sched, lat2, context, ctrl,
-            jnp.asarray(7.5, dtype), None, None,
+            jnp.asarray(7.5, dtype), added4, None,
             LocalBlend(jnp.zeros((1, 77))), None,
-            use_flash, False, False,
+            use_flash, False, False, None,
         )
         return decode(vae_params, final)
 
@@ -86,7 +109,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "p2p_real_edit_latency_sd15_512",
+                "metric": metric,
                 "value": round(per_image, 4),
                 "unit": "s/image (50-step inversion + 50-step edit + decode, 1 chip)",
                 "vs_baseline": round(TARGET_S_PER_IMAGE_PER_CHIP / per_image, 3),

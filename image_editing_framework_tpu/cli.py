@@ -86,7 +86,7 @@ def invert(pipe, image: np.ndarray, source_prompt: str, inversion_type: str,
             pipe, traj, context, nti_config_for(method, pipe),
             guidance_scale=GUIDANCE_SCALE,
         )
-    elif inversion_type != "ddim":
+    elif inversion_type not in ("ddim", "direct"):
         raise ValueError("Please choose right inversion type")
     return last, traj, uncond_seq
 
@@ -99,12 +99,20 @@ def run_method(
     sampler: SamplerConfig,
     uncond_seq=None,
     method_kwargs: Optional[dict] = None,
+    source_replay=None,
 ):
-    """Dispatch one edit; returns (inversion_image, edit_image)."""
+    """Dispatch one edit; returns (inversion_image, edit_image).
+
+    ``source_replay`` (the inversion trajectory) enables direct inversion:
+    the source branch replays its recorded latents each step, pinning the
+    reconstruction to the input while the target branch edits freely.
+    """
     kw = dict(method_kwargs or {})
+    if source_replay is not None and method != "p2z":
+        kw.setdefault("source_replay", source_replay)
     if method == "p2p":
         cfg = kw.pop("config", cfgs.P2PConfig())
-        imgs = p2p_edit(pipe, prompts, latent, cfg, sampler, uncond_seq=uncond_seq)
+        imgs = p2p_edit(pipe, prompts, latent, cfg, sampler, uncond_seq=uncond_seq, **kw)
         return imgs[0], imgs[1]
     if method == "masactrl":
         cfg = kw.pop("config", None)
@@ -117,7 +125,7 @@ def run_method(
         return imgs[0], imgs[1]
     if method == "pnp":
         cfg = kw.pop("config", cfgs.PnPConfig())
-        imgs = pnp_edit(pipe, prompts, latent, cfg, sampler, uncond_seq=uncond_seq)
+        imgs = pnp_edit(pipe, prompts, latent, cfg, sampler, uncond_seq=uncond_seq, **kw)
         return imgs[0], imgs[1]
     if method == "p2z":
         cfg = kw.pop("config", cfgs.P2ZConfig())
@@ -144,12 +152,13 @@ def edit_real_main(method: str, argv=None, method_kwargs: Optional[dict] = None,
     os.makedirs(out_path, exist_ok=True)
     image = load_image(args.source_image, res, res)
     save_img(image, os.path.join(out_path, "source.png"))
-    latent, _, uncond_seq = invert(
+    latent, traj, uncond_seq = invert(
         pipe, image, args.source_prompt, args.inversion_type, method
     )
+    replay = traj if args.inversion_type == "direct" else None
     inv_img, edit_img = run_method(
         method, pipe, [args.source_prompt, args.target_prompt], latent, sampler,
-        uncond_seq, method_kwargs,
+        uncond_seq, method_kwargs, source_replay=replay,
     )
     save_img(inv_img, os.path.join(out_path, "inversion.png"))
     save_img(edit_img, os.path.join(out_path, "edit.png"))

@@ -133,7 +133,7 @@ def run_sweep(
             t0 = time.perf_counter()
             image = load_image(item.image_path, res, res)
             save_img(image, os.path.join(out_dir, "source.png"))
-            latent, _, uncond_seq = invert(
+            latent, traj, uncond_seq = invert(
                 pipe, image, item.source_prompt, inversion_type, method
             )
             if save_inversions:
@@ -143,9 +143,10 @@ def run_sweep(
             kw = dict(method_kwargs or {})
             if method == "p2p" and "config" not in kw:
                 kw["config"] = _auto_p2p_config(item.source_prompt, item.target_prompt)
+            replay = traj if inversion_type == "direct" else None
             inv_img, edit_img = run_method(
                 method, pipe, [item.source_prompt, item.target_prompt], latent,
-                sampler, uncond_seq, kw,
+                sampler, uncond_seq, kw, source_replay=replay,
             )
             finish(item, inv_img, edit_img, time.perf_counter() - t0)
             done += 1

@@ -27,6 +27,7 @@ def p2p_edit(
     cfg: P2PConfig = P2PConfig(),
     sampler: SamplerConfig = SamplerConfig(),
     uncond_seq: Optional[jnp.ndarray] = None,  # (S, 77, D) NTI embeddings
+    source_replay: Optional[jnp.ndarray] = None,  # direct-inversion trajectory
     use_flash: bool = True,
 ) -> np.ndarray:
     """Run a P2P edit; returns uint8 images (P, H, W, 3) where row 0 is the
@@ -52,6 +53,7 @@ def p2p_edit(
         added_cond=added_cond,
         uncond_seq=uncond_seq,
         blend=blend,
+        source_replay=source_replay,
         use_flash=use_flash,
     )
     return pipe.latent2image(final)

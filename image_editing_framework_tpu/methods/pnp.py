@@ -27,6 +27,7 @@ def pnp_edit(
     cfg: PnPConfig = PnPConfig(),
     sampler: SamplerConfig = SamplerConfig(),
     uncond_seq: Optional[jnp.ndarray] = None,
+    source_replay: Optional[jnp.ndarray] = None,  # direct-inversion trajectory
     use_flash: bool = True,
 ) -> np.ndarray:
     assert len(prompts) == 2, "PnP edits one (source, target) prompt pair"
@@ -48,6 +49,7 @@ def pnp_edit(
         guidance_scale=sampler.guidance_scale,
         added_cond=added_cond,
         uncond_seq=uncond_seq,
+        source_replay=source_replay,
         use_flash=use_flash,
     )
     return pipe.latent2image(final)

@@ -156,3 +156,19 @@ def test_p2z_edit_runs_and_zero_guidance_equivalence(pipe):
     plain, _ = denoise(pipe, lat, ctx, guidance_scale=7.5)
     plain_img = pipe.latent2image(plain)
     np.testing.assert_allclose(np.asarray(edit0), np.asarray(plain_img), atol=1)
+
+
+def test_direct_inversion_improves_cfg_reconstruction(pipe):
+    """Source-branch trajectory replay (direct inversion) pins the
+    reconstruction even under CFG 7.5."""
+    lat = jax.random.normal(jax.random.PRNGKey(11), (1, 16, 16, 4)) * 0.1
+    last, traj, context, _ = ddim_invert(pipe, lat, "a cat")
+    ctx2, _ = pipe.encode_prompts(["a cat", "a cat"])
+    from image_editing_framework_tpu.methods import common
+
+    lat2 = common.expand_latent(last, 2)
+    plain, _ = denoise(pipe, lat2, ctx2, guidance_scale=7.5)
+    replay, _ = denoise(pipe, lat2, ctx2, guidance_scale=7.5, source_replay=traj)
+    err_plain = float(jnp.abs(plain[0] - lat[0]).mean())
+    err_replay = float(jnp.abs(replay[0] - lat[0]).mean())
+    assert err_replay < err_plain, (err_replay, err_plain)
