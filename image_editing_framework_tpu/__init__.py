@@ -24,3 +24,24 @@ modules; see /root/reference), this framework is designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import)."""
+    api = {
+        "load_pipeline": ("image_editing_framework_tpu.models.registry", "load_pipeline"),
+        "SDPipeline": ("image_editing_framework_tpu.pipelines", "SDPipeline"),
+        "ddim_invert": ("image_editing_framework_tpu.inversion.ddim", "ddim_invert"),
+        "null_text_inversion": ("image_editing_framework_tpu.inversion.nti", "null_text_inversion"),
+        "p2p_edit": ("image_editing_framework_tpu.methods.p2p", "p2p_edit"),
+        "masactrl_edit": ("image_editing_framework_tpu.methods.masactrl", "masactrl_edit"),
+        "pnp_edit": ("image_editing_framework_tpu.methods.pnp", "pnp_edit"),
+        "p2z_edit": ("image_editing_framework_tpu.methods.p2z", "p2z_edit"),
+        "run_sweep": ("image_editing_framework_tpu.eval.sweep", "run_sweep"),
+    }
+    if name in api:
+        import importlib
+
+        module, attr = api[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)

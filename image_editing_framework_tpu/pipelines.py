@@ -50,11 +50,14 @@ class SDPipeline:
         tok = tokenizer or self.tokenizer
         return jnp.asarray(pad_token_ids(tok, list(prompts)))
 
-    def encode_prompts_sd(self, prompts: Sequence[str]) -> jnp.ndarray:
+    def encode_prompts_sd(
+        self, prompts: Sequence[str], negative_prompt: str = ""
+    ) -> jnp.ndarray:
         """(2P, 77, D) context = [uncond x P, cond x P]
-        (reference get_context, p2p/inversion/ddim.py:43-57)."""
+        (reference get_context, p2p/inversion/ddim.py:43-57; MasaCtrl's
+        neg_prompt option, masactrl/model/sd_utils.py:74-77)."""
         p = len(prompts)
-        ids = self._token_ids(list(prompts) + [""] * p)
+        ids = self._token_ids(list(prompts) + [negative_prompt] * p)
         emb = self.text_encoder.apply(self.text_params, ids)["last_hidden_state"]
         cond, uncond = emb[:p], emb[p:]
         return jnp.concatenate([uncond, cond], axis=0)
