@@ -81,11 +81,21 @@ def run_sweep(
                 continue
             pending.append(item)
 
+    os.makedirs(exp_path, exist_ok=True)
+    event_log = os.path.join(exp_path, f"events_{method}_{shard_index}.jsonl")
+
     def finish(item, inv_img, edit_img, elapsed):
         out_dir = os.path.join(exp_path, item.key)
         save_img(inv_img, os.path.join(out_dir, "inversion.png"))
         save_img(edit_img, os.path.join(out_dir, "edit.png"))
         times.append(elapsed)
+        # per-image observability trail (SURVEY.md §5: the reference has none)
+        with open(event_log, "a") as f:
+            f.write(json.dumps({
+                "key": item.key, "elapsed_s": round(elapsed, 3),
+                "source_prompt": item.source_prompt,
+                "target_prompt": item.target_prompt,
+            }) + "\n")
 
     if batch_size > 1:
         import jax.numpy as jnp

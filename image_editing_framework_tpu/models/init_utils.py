@@ -14,12 +14,21 @@ import numpy as np
 
 
 def fast_random_params(module, *args, seed: int = 0, scale: float = 0.02, **kwargs):
-    """Shape-inferred param tree filled with N(0, scale^2) host-side."""
+    """Shape-inferred param tree filled with N(0, scale^2), generated ON
+    DEVICE: one flat normal draw sliced into leaves inside a single small jit
+    (no giant init graph to compile, no multi-GB host->device transfer)."""
     skeleton = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
-    rng = np.random.RandomState(seed)
     leaves, treedef = jax.tree_util.tree_flatten(skeleton)
-    out = []
-    for leaf in leaves:
-        arr = rng.standard_normal(leaf.shape).astype(np.float32) * scale
-        out.append(jnp.asarray(arr, leaf.dtype))
-    return jax.tree_util.tree_unflatten(treedef, out)
+    sizes = [int(np.prod(l.shape)) for l in leaves]
+    total = sum(sizes)
+
+    @jax.jit
+    def make(key):
+        flat = jax.random.normal(key, (total,), jnp.float32) * scale
+        out, off = [], 0
+        for leaf, n in zip(leaves, sizes):
+            out.append(flat[off : off + n].reshape(leaf.shape).astype(leaf.dtype))
+            off += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return make(jax.random.PRNGKey(seed))
