@@ -125,6 +125,8 @@ class Attention(nn.Module):
     layer: int
     place: str
     dtype: jnp.dtype = jnp.float32
+    cp_mesh: Optional[object] = None  # jax Mesh: ring-attention context parallelism
+    cp_min_seq: int = 4096
 
     @nn.compact
     def __call__(self, x, context, ctrl, use_flash: bool = True):
@@ -150,7 +152,10 @@ class Attention(nn.Module):
             out = ctrl.self_override(site, q, k, v)  # masked variants
             if out is None:
                 plan = ctrl.self_plan(site, x.shape[0])
-                out = self_attention(q, k, v, plan, use_flash=use_flash)
+                mesh = self.cp_mesh if x.shape[1] >= self.cp_min_seq else None
+                out = self_attention(
+                    q, k, v, plan, use_flash=use_flash, cp_mesh=mesh
+                )
         out = merge_heads(out).astype(x.dtype)
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
         return out, records
@@ -177,13 +182,16 @@ class BasicTransformerBlock(nn.Module):
     layer: int
     place: str
     dtype: jnp.dtype = jnp.float32
+    cp_mesh: Optional[object] = None
+    cp_min_seq: int = 4096
 
     @nn.compact
     def __call__(self, x, context, ctrl, use_flash: bool = True):
         records: Records = {}
         h, rec = Attention(
             self.dim, self.heads, None, self.layer, self.place,
-            dtype=self.dtype, name="attn1",
+            dtype=self.dtype, cp_mesh=self.cp_mesh, cp_min_seq=self.cp_min_seq,
+            name="attn1",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), None, ctrl, use_flash)
         records.update(rec)
         x = x + h
@@ -212,6 +220,8 @@ class Transformer2D(nn.Module):
     place: str
     use_linear_projection: bool = False
     dtype: jnp.dtype = jnp.float32
+    cp_mesh: Optional[object] = None
+    cp_min_seq: int = 4096
 
     @nn.compact
     def __call__(self, x, context, ctrl, use_flash: bool = True):
@@ -228,7 +238,8 @@ class Transformer2D(nn.Module):
         for i, layer in enumerate(self.layers):
             h, rec = BasicTransformerBlock(
                 self.channels, self.heads, self.cross_dim, layer, self.place,
-                dtype=self.dtype, name=f"block_{i}",
+                dtype=self.dtype, cp_mesh=self.cp_mesh,
+                cp_min_seq=self.cp_min_seq, name=f"block_{i}",
             )(h, context, ctrl, use_flash)
             records.update(rec)
         if self.use_linear_projection:
@@ -291,6 +302,10 @@ class Upsample(nn.Module):
 class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    # Context parallelism: shard self-attention sequences >= cp_min_seq over
+    # this mesh's 'data' axis via ring attention (XL 1024^2 scale-out path).
+    cp_mesh: Optional[object] = None
+    cp_min_seq: int = 4096
 
     @nn.compact
     def __call__(
@@ -349,7 +364,8 @@ class UNet2DCondition(nn.Module):
                         out_ch, cfg.num_heads[i], cfg.cross_attention_dim,
                         tuple(down_layout[i][j]), "down",
                         use_linear_projection=cfg.use_linear_projection,
-                        dtype=self.dtype, name=f"down_{i}_attn_{j}",
+                        dtype=self.dtype, cp_mesh=self.cp_mesh,
+                        cp_min_seq=self.cp_min_seq, name=f"down_{i}_attn_{j}",
                     )(x, context, ctrl, use_flash)
                     records.update(rec)
                 skips.append(x)
@@ -366,7 +382,8 @@ class UNet2DCondition(nn.Module):
             mid_ch, cfg.num_heads[-1], cfg.cross_attention_dim,
             tuple(mid_layout), "mid",
             use_linear_projection=cfg.use_linear_projection,
-            dtype=self.dtype, name="mid_attn",
+            dtype=self.dtype, cp_mesh=self.cp_mesh,
+            cp_min_seq=self.cp_min_seq, name="mid_attn",
         )(x, context, ctrl, use_flash)
         records.update(rec)
         x = ResnetBlock(mid_ch, key="mid_res1", dtype=self.dtype, name="mid_resnet_1")(
@@ -390,7 +407,8 @@ class UNet2DCondition(nn.Module):
                         out_ch, cfg.num_heads[len(rev_channels) - 1 - i],
                         cfg.cross_attention_dim, tuple(up_layout[i][j]), "up",
                         use_linear_projection=cfg.use_linear_projection,
-                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
+                        dtype=self.dtype, cp_mesh=self.cp_mesh,
+                        cp_min_seq=self.cp_min_seq, name=f"up_{i}_attn_{j}",
                     )(x, context, ctrl, use_flash)
                     records.update(rec)
             if not is_last:

@@ -93,10 +93,16 @@ def self_attention(
     v: jnp.ndarray,
     plan: Optional[SelfAttnPlan],
     use_flash: bool = True,
+    cp_mesh=None,
+    cp_axis: str = "data",
 ) -> jnp.ndarray:
     """Fused self-attention with optional batch-index remapping.
 
     q/k/v: (B, H, N, D). plan=None means no edit (skips the gathers).
+    ``cp_mesh`` switches to ring attention with the sequence sharded over
+    ``cp_axis`` (context parallelism for XL-scale token counts); editing
+    remaps compose with it (gathers run before the ring), only the
+    multi-segment bias path falls back to single-device flash.
     """
     b, h, n, d = q.shape
     bias = None
@@ -110,6 +116,12 @@ def self_attention(
         if s > 1:
             seg = jnp.where(plan.valid, 0.0, NEG_INF).astype(jnp.float32)  # (B,S)
             bias = jnp.repeat(seg, n, axis=1)  # (B, S*N)
+    if cp_mesh is not None and bias is None:
+        from image_editing_framework_tpu.parallel.ring_attention import (
+            ring_self_attention,
+        )
+
+        return ring_self_attention(q, k, v, cp_mesh, cp_axis)
     if use_flash:
         return flash_attention(q, k, v, bias)
     # Explicit XLA path (oracle / CPU).

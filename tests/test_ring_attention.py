@@ -39,3 +39,20 @@ def test_ulysses_attention_matches_full(mesh):
     out = ulysses_self_attention(q, k, v, mesh)
     ref = reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_unet_with_context_parallel_matches(mesh):
+    """UNet with ring-attention CP == plain UNet (8-dev mesh, low threshold)."""
+    import jax.numpy as jnp
+    from image_editing_framework_tpu.models import configs
+    from image_editing_framework_tpu.models.unet import UNet2DCondition
+
+    base = UNet2DCondition(configs.TINY_UNET)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 32))
+    params = base.init(jax.random.PRNGKey(2), x, 10, ctx)
+    ref, _ = base.apply(params, x, 10, ctx, None, None, False)
+
+    cp = UNet2DCondition(configs.TINY_UNET, cp_mesh=mesh, cp_min_seq=64)
+    out, _ = cp.apply(params, x, 10, ctx, None, None, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
