@@ -92,7 +92,8 @@ class PIEPrecomputedInversion(PIE):
 
     def load_inversion(self, item: PIEItem):
         data = np.load(self._artifact(item))
-        return data["latent"], data.get("uncond_seq")
+        uncond = data["uncond_seq"] if "uncond_seq" in data.files else None
+        return data["latent"], uncond
 
 
 def save_inversion(inversion_path: str, key: str, latent, uncond_seq=None) -> None:

@@ -53,12 +53,15 @@ def run_sweep(
     resolution: Optional[int] = None,
     batch_size: int = 1,
     save_inversions: Optional[str] = None,
+    inversion_path: Optional[str] = None,
 ) -> dict:
     """``batch_size`` > 1 (p2p + ddim inversion only) edits image groups as
     one vmapped program — the throughput mode the reference's hook design
     precludes. ``save_inversions`` writes the per-image inversion artifacts
     the reference's PIE_NTI_Inversion dataset consumes (the producer it
-    lacks, p2p/dataset/pie.py:44-51)."""
+    lacks, p2p/dataset/pie.py:44-51); ``inversion_path`` consumes them,
+    skipping the inversion phase entirely (the reference's
+    PIE_NTI_Inversion path, p2p/dataset/pie.py:25-51)."""
     if batch_size > 1 and (method != "p2p" or inversion_type != "ddim"):
         raise ValueError("batched sweep currently supports p2p + ddim")
 
@@ -137,15 +140,29 @@ def run_sweep(
                 finish(item, pair_imgs[0], pair_imgs[1], tg)
             done += len(group)
     else:
+        cache = None
+        if inversion_path is not None:
+            from image_editing_framework_tpu.data.pie import PIEPrecomputedInversion
+
+            cache = PIEPrecomputedInversion(dataset_path, inversion_path)
+            by_key = {it.key: it for it in cache.items}
         for item in pending:
             out_dir = os.path.join(exp_path, item.key)
             os.makedirs(out_dir, exist_ok=True)
             t0 = time.perf_counter()
             image = load_image(item.image_path, res, res)
             save_img(image, os.path.join(out_dir, "source.png"))
-            latent, traj, uncond_seq = invert(
-                pipe, image, item.source_prompt, inversion_type, method
-            )
+            if cache is not None:
+                import jax.numpy as jnp
+
+                lat_np, uncond_np = cache.load_inversion(by_key[item.key])
+                latent = jnp.asarray(lat_np, pipe.dtype)
+                uncond_seq = None if uncond_np is None else jnp.asarray(uncond_np)
+                traj = None
+            else:
+                latent, traj, uncond_seq = invert(
+                    pipe, image, item.source_prompt, inversion_type, method
+                )
             if save_inversions:
                 from image_editing_framework_tpu.data.pie import save_inversion
 

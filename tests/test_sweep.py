@@ -113,3 +113,25 @@ def test_sweep_batched_mode(mini_pie, tmp_path):
     assert len(arts) == 3
     data = np.load(os.path.join(inv, "0_random", arts[0], "inversion.npz"))
     assert data["latent"].shape == (1, 16, 16, 4)  # 32px / tiny-VAE /2
+
+
+def test_sweep_consumes_precomputed_inversions(mini_pie, tmp_path):
+    pipe = tiny_pipeline(num_steps=4)
+    inv = str(tmp_path / "inv2")
+    exp1 = str(tmp_path / "exp_produce")
+    run_sweep(
+        pipe, "p2p", mini_pie, exp1, inversion_type="ddim", categories=(0,),
+        max_items=1, resolution=32, save_inversions=inv,
+    )
+    # remaining items need artifacts too for the completeness check
+    from image_editing_framework_tpu.data.pie import PIE
+    for item in PIE(mini_pie).items:
+        d = os.path.join(inv, item.key)
+        if not os.path.exists(os.path.join(d, "inversion.npz")):
+            save_inversion(inv, item.key, np.zeros((1, 4, 4, 4), np.float32))
+    exp2 = str(tmp_path / "exp_consume")
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, exp2, inversion_type="ddim", categories=(0,),
+        max_items=1, resolution=32, inversion_path=inv,
+    )
+    assert stats["images_done"] == 1
