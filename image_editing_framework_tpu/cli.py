@@ -197,6 +197,11 @@ def test_main(method: str, argv=None, method_kwargs: Optional[dict] = None):
     p.add_argument("--exp_path", type=str, default="./test_exp")
     p.add_argument("--inversion_type", type=str, default="ddim")
     p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--shard_index", type=int, default=0)
+    p.add_argument("--shard_count", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--inversion_path", type=str, default=None)
+    p.add_argument("--save_inversions", type=str, default=None)
     args = p.parse_args(argv)
     pipe = load_pipe(args.sd_version)
 
@@ -206,4 +211,7 @@ def test_main(method: str, argv=None, method_kwargs: Optional[dict] = None):
         pipe, method, args.dataset_path, args.exp_path,
         inversion_type=args.inversion_type, seed=args.seed,
         method_kwargs=method_kwargs, resume=args.resume,
+        shard_index=args.shard_index, shard_count=args.shard_count,
+        batch_size=args.batch_size, inversion_path=args.inversion_path,
+        save_inversions=args.save_inversions,
     )

@@ -91,3 +91,22 @@ def test_xl_masactrl_edit(xl):
         MasaCtrlConfig(start_step=1, start_layer=max(0, nblocks - 2)), SAMPLER,
     )
     assert img.shape == (2, 32, 32, 3)
+
+
+def test_xl_p2z_edit(xl):
+    from image_editing_framework_tpu.core.config import P2ZConfig
+    from image_editing_framework_tpu.methods.p2z import p2z_edit
+
+    lat = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 4))
+    rec, edit = p2z_edit(
+        xl, ["a cat", "a dog"], lat, P2ZConfig(guidance_amount=0.05), SAMPLER
+    )
+    assert rec.shape == (1, 32, 32, 3) and edit.shape == (1, 32, 32, 3)
+
+
+def test_img2img_refine(xl):
+    from image_editing_framework_tpu.methods.img2img import img2img
+
+    img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    out = img2img(xl, img, "a cat", strength=0.5)
+    assert out.shape == (1, 32, 32, 3)
