@@ -96,6 +96,11 @@ def main() -> None:
             LocalBlend(jnp.zeros((1, 77))), None,
             use_flash, False, False, None,
         )
+        if is_xl:
+            # 1024^2 decode transients + 5.1GB of params: decode per image
+            return jnp.concatenate(
+                [decode(vae_params, final[i : i + 1]) for i in range(2)]
+            )
         return decode(vae_params, final)
 
     import numpy as np
