@@ -15,20 +15,18 @@ import numpy as np
 
 def fast_random_params(module, *args, seed: int = 0, scale: float = 0.02, **kwargs):
     """Shape-inferred param tree filled with N(0, scale^2), generated ON
-    DEVICE: one flat normal draw sliced into leaves inside a single small jit
-    (no giant init graph to compile, no multi-GB host->device transfer)."""
+    DEVICE per leaf in the leaf's dtype inside one jit (no giant init graph
+    to compile, no multi-GB host->device transfer, no float32 staging buffer
+    — a single flat f32 draw would need 10.3 GB for SDXL)."""
     skeleton = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
     leaves, treedef = jax.tree_util.tree_flatten(skeleton)
-    sizes = [int(np.prod(l.shape)) for l in leaves]
-    total = sum(sizes)
 
     @jax.jit
     def make(key):
-        flat = jax.random.normal(key, (total,), jnp.float32) * scale
-        out, off = [], 0
-        for leaf, n in zip(leaves, sizes):
-            out.append(flat[off : off + n].reshape(leaf.shape).astype(leaf.dtype))
-            off += n
+        out = []
+        for i, leaf in enumerate(leaves):
+            k = jax.random.fold_in(key, i)
+            out.append(jax.random.normal(k, leaf.shape, leaf.dtype) * scale)
         return jax.tree_util.tree_unflatten(treedef, out)
 
     return make(jax.random.PRNGKey(seed))

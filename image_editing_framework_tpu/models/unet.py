@@ -116,6 +116,21 @@ class UNetConfig:
         return down, mid, up
 
 
+class _Kernel(nn.Module):
+    """Bias-free projection weight with the standard ('<name>', 'kernel')
+    param path — lets the attention layer fuse q/k/v into one matmul while
+    keeping checkpoint-compatible parameter naming."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dim_in: int) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (dim_in, self.features)
+        ).astype(self.dtype)
+
+
 class Attention(nn.Module):
     """One attention layer (attn1 self / attn2 cross) with editing hooks."""
 
@@ -136,9 +151,19 @@ class Attention(nn.Module):
         )
         inner = self.query_dim
         src = context if is_cross else x
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(src)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(src)
+        # Fused projections: one matmul for [q|k|v] (self) / [k|v] (cross)
+        # instead of three narrow ones — identical math (column blocks of a
+        # concatenated kernel), better MXU utilization at small batch.
+        wq = _Kernel(inner, dtype=self.dtype, name="to_q")(x.shape[-1])
+        wk = _Kernel(inner, dtype=self.dtype, name="to_k")(src.shape[-1])
+        wv = _Kernel(inner, dtype=self.dtype, name="to_v")(src.shape[-1])
+        if is_cross:
+            q = x @ wq
+            kv = src @ jnp.concatenate([wk, wv], axis=1)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            qkv = x @ jnp.concatenate([wq, wk, wv], axis=1)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (split_heads(t, self.heads) for t in (q, k, v))
         records: Records = {}
         if is_cross:
