@@ -247,6 +247,7 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     cp_mesh: Optional[object] = None
     cp_min_seq: int = 4096
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, context, ctrl, use_flash: bool = True):
@@ -260,8 +261,13 @@ class Transformer2D(nn.Module):
             h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(h)
             h = h.reshape(b, hh * ww, self.channels)
         records: Records = {}
+        block_cls = (
+            nn.remat(BasicTransformerBlock, static_argnums=(4,))
+            if self.remat
+            else BasicTransformerBlock
+        )
         for i, layer in enumerate(self.layers):
-            h, rec = BasicTransformerBlock(
+            h, rec = block_cls(
                 self.channels, self.heads, self.cross_dim, layer, self.place,
                 dtype=self.dtype, cp_mesh=self.cp_mesh,
                 cp_min_seq=self.cp_min_seq, name=f"block_{i}",
@@ -331,6 +337,9 @@ class UNet2DCondition(nn.Module):
     # this mesh's 'data' axis via ring attention (XL 1024^2 scale-out path).
     cp_mesh: Optional[object] = None
     cp_min_seq: int = 4096
+    # Rematerialize transformer blocks during backward (NTI / pix2pix-zero /
+    # training gradients at XL scale trade ~30% FLOPs for O(depth) memory).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -389,7 +398,7 @@ class UNet2DCondition(nn.Module):
                         out_ch, cfg.num_heads[i], cfg.cross_attention_dim,
                         tuple(down_layout[i][j]), "down",
                         use_linear_projection=cfg.use_linear_projection,
-                        dtype=self.dtype, cp_mesh=self.cp_mesh,
+                        dtype=self.dtype, cp_mesh=self.cp_mesh, remat=self.remat,
                         cp_min_seq=self.cp_min_seq, name=f"down_{i}_attn_{j}",
                     )(x, context, ctrl, use_flash)
                     records.update(rec)
@@ -407,7 +416,7 @@ class UNet2DCondition(nn.Module):
             mid_ch, cfg.num_heads[-1], cfg.cross_attention_dim,
             tuple(mid_layout), "mid",
             use_linear_projection=cfg.use_linear_projection,
-            dtype=self.dtype, cp_mesh=self.cp_mesh,
+            dtype=self.dtype, cp_mesh=self.cp_mesh, remat=self.remat,
             cp_min_seq=self.cp_min_seq, name="mid_attn",
         )(x, context, ctrl, use_flash)
         records.update(rec)
@@ -432,7 +441,7 @@ class UNet2DCondition(nn.Module):
                         out_ch, cfg.num_heads[len(rev_channels) - 1 - i],
                         cfg.cross_attention_dim, tuple(up_layout[i][j]), "up",
                         use_linear_projection=cfg.use_linear_projection,
-                        dtype=self.dtype, cp_mesh=self.cp_mesh,
+                        dtype=self.dtype, cp_mesh=self.cp_mesh, remat=self.remat,
                         cp_min_seq=self.cp_min_seq, name=f"up_{i}_attn_{j}",
                     )(x, context, ctrl, use_flash)
                     records.update(rec)

@@ -132,3 +132,24 @@ def test_clip_causality():
     h2 = clip.apply(params, ids2)["last_hidden_state"]
     np.testing.assert_allclose(np.asarray(h1[:, :4]), np.asarray(h2[:, :4]), atol=1e-6)
     assert float(jnp.abs(h1[:, 4:] - h2[:, 4:]).max()) > 1e-4
+
+
+def test_remat_grads_match():
+    """Rematerialized UNet: identical outputs and gradients."""
+    from image_editing_framework_tpu.models.unet import UNet2DCondition as U
+
+    m = U(configs.TINY_UNET)
+    mr = U(configs.TINY_UNET, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 32))
+    params = m.init(jax.random.PRNGKey(2), x, 10, ctx)
+
+    def loss(mod, p):
+        out, _ = mod.apply(p, x, 10, ctx, None, None, False)
+        return jnp.sum(out**2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(mr, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
