@@ -95,10 +95,15 @@ def pnp_sites_sd(cfg: UNetConfig = SD15_UNET) -> Tuple[Tuple[int, ...], Tuple[st
     """
     _, _, up = cfg.forward_layout()
     layers = []
-    for tb in up[1][1:]:  # up_blocks[1].attentions[1,2]
-        layers.extend(tb)
-    for blk in (2, 3):
-        for tb in up[blk]:
+    skipped_first = False
+    for blk in up:
+        for j, tb in enumerate(blk):
+            # skip the first Transformer2D of the first attention-bearing up
+            # block ("not in the first block of the lowest resolution",
+            # pnp/model/register.py:82) — up_blocks[1].attentions[0] for SD.
+            if not skipped_first and j == 0:
+                skipped_first = True
+                continue
             layers.extend(tb)
     return tuple(layers), ("up1_res1",)
 
