@@ -32,22 +32,25 @@ def stack_controls(items: Sequence) -> object:
 @functools.partial(jax.jit, static_argnames=("unet", "use_flash"))
 def _batched_invert(unet, params, sched, latents, conds, added, use_flash):
     def one(lat, cond):
-        return _invert_scan(unet, params, sched, lat, cond, added, use_flash)[0]
+        return _invert_scan(unet, params, sched, lat, cond, added, use_flash)
 
-    return jax.vmap(one)(latents, conds)
+    return jax.vmap(one)(latents, conds)  # (last (G,1,...), traj (G,S+1,1,...))
 
 
-@functools.partial(jax.jit, static_argnames=("unet", "use_flash"))
+@functools.partial(jax.jit, static_argnames=("unet", "use_flash", "has_nti"))
 def _batched_edit(
-    unet, params, sched, latents, contexts, ctrls, guidance, use_flash
+    unet, params, sched, latents, contexts, ctrls, guidance, uncond_seqs,
+    use_flash, has_nti,
 ):
-    def one(lat, ctx, c):
+    def one(lat, ctx, c, useq):
         return _denoise_scan(
-            unet, params, sched, lat, ctx, c, guidance, None, None,
+            unet, params, sched, lat, ctx, c, guidance, None, useq,
             LocalBlend(jnp.zeros((1, 77))), None, use_flash, False, False, None,
         )[0]
 
-    return jax.vmap(one)(latents, contexts, ctrls)
+    if has_nti:
+        return jax.vmap(one)(latents, contexts, ctrls, uncond_seqs)
+    return jax.vmap(one, in_axes=(0, 0, 0, None))(latents, contexts, ctrls, None)
 
 
 def p2p_edit_batch(
@@ -56,6 +59,7 @@ def p2p_edit_batch(
     latents: jnp.ndarray,  # (G, 1, h, w, 4)
     cfgs: Optional[Sequence[P2PConfig]] = None,
     guidance_scale: float = 7.5,
+    uncond_seqs: Optional[jnp.ndarray] = None,  # (G, S, 77, D) NTI embeddings
     use_flash: bool = True,
 ):
     """Edit G images in one compiled program. Returns (G, 2, H, W, 3) uint8."""
@@ -75,7 +79,8 @@ def p2p_edit_batch(
     lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
     final = _batched_edit(
         pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrls,
-        jnp.asarray(guidance_scale, latents.dtype), use_flash,
+        jnp.asarray(guidance_scale, latents.dtype), uncond_seqs, use_flash,
+        uncond_seqs is not None,
     )
     imgs = pipe.latent2image(final.reshape((g * 2,) + final.shape[2:]))
     return imgs.reshape((g, 2) + imgs.shape[1:])
@@ -86,10 +91,27 @@ def ddim_invert_batch(
     latents: jnp.ndarray,  # (G, 1, h, w, 4)
     prompts: Sequence[str],
     use_flash: bool = True,
-) -> jnp.ndarray:
+    return_trajectory: bool = False,
+):
     """Invert G images under their source prompts in one program."""
     conds = jnp.stack([pipe.encode_prompts_sd([p])[1:] for p in prompts])
-    return _batched_invert(
+    last, traj = _batched_invert(
         pipe.unet, pipe.unet_params, pipe.scheduler, latents, conds, None,
         use_flash,
+    )
+    if return_trajectory:
+        return last, traj
+    return last
+
+
+def nti_batch(pipe, trajectories, prompts, cfg=None, guidance_scale: float = 7.5,
+              use_flash: bool = True):
+    """Batched null-text inversion for a group of images."""
+    from image_editing_framework_tpu.core.config import NTIConfig
+    from image_editing_framework_tpu.inversion.nti import null_text_inversion_batch
+
+    contexts = jnp.stack([pipe.encode_prompts_sd([p]) for p in prompts])
+    return null_text_inversion_batch(
+        pipe, trajectories, contexts, cfg or NTIConfig(),
+        guidance_scale=guidance_scale, use_flash=use_flash,
     )

@@ -62,8 +62,10 @@ def run_sweep(
     lacks, p2p/dataset/pie.py:44-51); ``inversion_path`` consumes them,
     skipping the inversion phase entirely (the reference's
     PIE_NTI_Inversion path, p2p/dataset/pie.py:25-51)."""
-    if batch_size > 1 and (method != "p2p" or inversion_type != "ddim"):
-        raise ValueError("batched sweep currently supports p2p + ddim")
+    if batch_size > 1 and (
+        method != "p2p" or inversion_type not in ("ddim", "null-text")
+    ):
+        raise ValueError("batched sweep currently supports p2p + ddim/null-text")
 
     from image_editing_framework_tpu.cli import invert, run_method
 
@@ -119,12 +121,28 @@ def run_sweep(
                 save_img(image, os.path.join(exp_path, item.key, "source.png"))
                 lats.append(pipe.image2latent(image))
             lats = jnp.stack(lats)  # (G, 1, h, w, 4)
-            inverted = ddim_invert_batch(
-                pipe, lats, [it.source_prompt for it in group]
+            src_prompts = [it.source_prompt for it in group]
+            inverted, trajs = ddim_invert_batch(
+                pipe, lats, src_prompts, return_trajectory=True
             )
+            uncond_seqs = None
+            if inversion_type == "null-text":
+                from image_editing_framework_tpu.cli import (
+                    GUIDANCE_SCALE,
+                    nti_config_for,
+                )
+                from image_editing_framework_tpu.eval.batched import nti_batch
+
+                uncond_seqs = nti_batch(
+                    pipe, trajs, src_prompts, nti_config_for(method, pipe),
+                    guidance_scale=GUIDANCE_SCALE,
+                )
             if save_inversions:
-                for item, latv in zip(group, inverted):
-                    save_inversion(save_inversions, item.key, latv)
+                for gi, (item, latv) in enumerate(zip(group, inverted)):
+                    save_inversion(
+                        save_inversions, item.key, latv,
+                        None if uncond_seqs is None else uncond_seqs[gi],
+                    )
             pairs = [[it.source_prompt, it.target_prompt] for it in group]
             cfgs = [
                 (method_kwargs or {}).get(
@@ -133,7 +151,8 @@ def run_sweep(
                 for it in group
             ]
             imgs = p2p_edit_batch(
-                pipe, pairs, inverted, cfgs, sampler.guidance_scale
+                pipe, pairs, inverted, cfgs, sampler.guidance_scale,
+                uncond_seqs=uncond_seqs,
             )
             tg = (time.perf_counter() - t0) / len(group)
             for item, pair_imgs in zip(group, imgs):

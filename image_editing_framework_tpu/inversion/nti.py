@@ -108,6 +108,43 @@ def _nti_scan(
     return uncond_seq  # (S, 77, D)
 
 
+def null_text_inversion_batch(
+    pipe,
+    trajectories: jnp.ndarray,  # (G, S+1, 1, h, w, 4)
+    contexts: jnp.ndarray,  # (G, 2, 77, D)
+    cfg: NTIConfig = NTIConfig(),
+    guidance_scale: float = 7.5,
+    use_flash: bool = True,
+) -> jnp.ndarray:
+    """Optimize G images' null-text embeddings in one vmapped program.
+
+    The early-stop while_loop batches soundly (JAX freezes finished
+    elements); cost per step is the max inner-iteration count in the group.
+    Returns (G, S, 77, D).
+    """
+    import jax
+
+    def one(traj, ctx):
+        return _nti_scan(
+            pipe.unet,
+            pipe.unet_params,
+            pipe.scheduler,
+            traj,
+            ctx[1:],
+            ctx[:1],
+            jnp.asarray(guidance_scale, jnp.float32),
+            jnp.asarray(cfg.base_lr, jnp.float32),
+            jnp.asarray(cfg.lr_decay_span, jnp.float32),
+            jnp.asarray(cfg.epsilon, jnp.float32),
+            None,
+            cfg.num_inner_steps,
+            pipe.model_type == "xl",
+            use_flash,
+        )
+
+    return jax.vmap(one)(trajectories, contexts)
+
+
 def null_text_inversion(
     pipe,
     trajectory: jnp.ndarray,

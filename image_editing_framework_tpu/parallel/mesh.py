@@ -16,6 +16,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bootstrap (SURVEY.md §2.3 mesh/runtime row).
+
+    On single-host TPU slices this is a no-op; across hosts it wires
+    ``jax.distributed.initialize`` so ``jax.devices()`` spans the slice and
+    GSPMD collectives ride ICI. Returns the process index.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()
+
+
 def make_mesh(
     data: Optional[int] = None,
     tensor: int = 1,

@@ -45,3 +45,39 @@ def test_batched_inversion_matches_per_image():
         np.testing.assert_allclose(
             np.asarray(batched[i]), np.asarray(single), atol=1e-5
         )
+
+
+def test_batched_nti_matches_per_image():
+    from image_editing_framework_tpu.core.config import NTIConfig
+    from image_editing_framework_tpu.eval.batched import ddim_invert_batch, nti_batch
+    from image_editing_framework_tpu.inversion.nti import null_text_inversion
+
+    pipe = tiny_pipeline(num_steps=4)
+    lats = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 16, 16, 4)) * 0.1
+    prompts = ["a cat", "a dog"]
+    last, trajs = ddim_invert_batch(pipe, lats, prompts, return_trajectory=True)
+    cfg = NTIConfig(num_inner_steps=3)
+    batched = nti_batch(pipe, trajs, prompts, cfg)
+    assert batched.shape == (2, 4, 77, 32)
+    for i, p in enumerate(prompts):
+        _, traj, ctx, _ = ddim_invert(pipe, lats[i], p)
+        single = null_text_inversion(pipe, traj, ctx, cfg)
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(single), atol=2e-4
+        )
+
+
+def test_batched_edit_with_nti_seq():
+    from image_editing_framework_tpu.core.config import P2PConfig
+
+    pipe = tiny_pipeline(num_steps=4)
+    pairs = [["a cat sat", "a dog sat"], ["a cat", "a fluffy cat"]]
+    lats = jax.random.normal(jax.random.PRNGKey(3), (2, 1, 16, 16, 4))
+    useqs = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 77, 32))
+    cfgs = [P2PConfig(edit_type="replace"), P2PConfig(edit_type="refine")]
+    batched = p2p_edit_batch(pipe, pairs, lats, cfgs, uncond_seqs=useqs)
+    assert batched.shape == (2, 2, 32, 32, 3)
+    single = p2p_edit(pipe, pairs[0], lats[0], cfgs[0], SAMPLER, uncond_seq=useqs[0])
+    np.testing.assert_allclose(
+        batched[0].astype(np.int32), single.astype(np.int32), atol=1
+    )

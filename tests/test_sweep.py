@@ -135,3 +135,13 @@ def test_sweep_consumes_precomputed_inversions(mini_pie, tmp_path):
         max_items=1, resolution=32, inversion_path=inv,
     )
     assert stats["images_done"] == 1
+
+
+def test_sweep_batched_null_text(mini_pie, tmp_path):
+    pipe = tiny_pipeline(num_steps=4)
+    exp = str(tmp_path / "exp_bnti")
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, exp, inversion_type="null-text", categories=(0,),
+        max_items=2, resolution=32, batch_size=2,
+    )
+    assert stats["images_done"] == 2
