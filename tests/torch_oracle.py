@@ -366,3 +366,104 @@ class TinyTorchVAE(nn.Module):
                 h = F.interpolate(h, scale_factor=2, mode="nearest")
                 h = blk.upsamplers[0]["conv"](h)
         return d.conv_out(F.silu(d.conv_norm_out(h)))
+
+
+# ---------------------------------------------------------------------------
+# XL-flavored UNet oracle: text_time addition embeddings, linear projection,
+# multiple transformer blocks per Transformer2D.
+
+
+class Transformer2DLinear(nn.Module):
+    def __init__(self, ch, heads, ctx_dim, n_blocks):
+        super().__init__()
+        self.norm = nn.GroupNorm(min(32, ch), ch, eps=1e-6)
+        self.proj_in = nn.Linear(ch, ch)
+        self.transformer_blocks = nn.ModuleList(
+            [BasicTransformerBlock(ch, heads, ctx_dim) for _ in range(n_blocks)]
+        )
+        self.proj_out = nn.Linear(ch, ch)
+
+    def forward(self, x, ctx):
+        b, c, hh, ww = x.shape
+        res = x
+        h = self.norm(x).permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+        h = self.proj_in(h)
+        for blk in self.transformer_blocks:
+            h = blk(h, ctx)
+        h = self.proj_out(h)
+        return h.reshape(b, hh, ww, c).permute(0, 3, 1, 2) + res
+
+
+class TinyTorchXLUNet(nn.Module):
+    """TINY_XL_UNET: levels (32, 64), down = [Down, CrossAttn(tl=2)],
+    up = [CrossAttnUp(tl=2), Up], heads 2, ctx 32, linear projection,
+    addition_time_embed_dim 8, pooled 16 (projection input 16 + 8*6 = 64)."""
+
+    def __init__(self):
+        super().__init__()
+        temb = 128
+        self.time_embedding = TimestepEmbedding(32, temb)
+        self.add_embedding = TimestepEmbedding(64, temb)
+        self.conv_in = nn.Conv2d(4, 32, 3, padding=1)
+
+        d0 = nn.Module()
+        d0.resnets = nn.ModuleList([ResnetBlock(32, 32, temb)])
+        d0.downsamplers = nn.ModuleList([Downsample(32)])
+        d1 = nn.Module()
+        d1.resnets = nn.ModuleList([ResnetBlock(32, 64, temb)])
+        d1.attentions = nn.ModuleList([Transformer2DLinear(64, 2, 32, 2)])
+        d1.downsamplers = None
+        self.down_blocks = nn.ModuleList([d0, d1])
+
+        m = nn.Module()
+        m.resnets = nn.ModuleList([ResnetBlock(64, 64, temb), ResnetBlock(64, 64, temb)])
+        m.attentions = nn.ModuleList([Transformer2DLinear(64, 2, 32, 2)])
+        self.mid_block = m
+
+        u0 = nn.Module()
+        u0.resnets = nn.ModuleList(
+            [ResnetBlock(64 + 64, 64, temb), ResnetBlock(64 + 32, 64, temb)]
+        )
+        u0.attentions = nn.ModuleList(
+            [Transformer2DLinear(64, 2, 32, 2), Transformer2DLinear(64, 2, 32, 2)]
+        )
+        u0.upsamplers = nn.ModuleList([Upsample(64)])
+        u1 = nn.Module()
+        u1.resnets = nn.ModuleList(
+            [ResnetBlock(64 + 32, 32, temb), ResnetBlock(32 + 32, 32, temb)]
+        )
+        u1.upsamplers = None
+        self.up_blocks = nn.ModuleList([u0, u1])
+
+        self.conv_norm_out = nn.GroupNorm(32, 32, eps=1e-5)
+        self.conv_out = nn.Conv2d(32, 4, 3, padding=1)
+
+    def forward(self, x, t, ctx, text_embeds, time_ids):
+        temb = self.time_embedding(timestep_embedding(t, 32))
+        b = x.shape[0]
+        te = timestep_embedding(time_ids.reshape(-1), 8).reshape(b, -1)
+        temb = temb + self.add_embedding(torch.cat([text_embeds, te], dim=-1))
+
+        h = self.conv_in(x)
+        skips = [h]
+        for blk in self.down_blocks:
+            for j, res in enumerate(blk.resnets):
+                h = res(h, temb)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
+                skips.append(h)
+            if blk.downsamplers is not None:
+                h = blk.downsamplers[0](h)
+                skips.append(h)
+        h = self.mid_block.resnets[0](h, temb)
+        h = self.mid_block.attentions[0](h, ctx)
+        h = self.mid_block.resnets[1](h, temb)
+        for blk in self.up_blocks:
+            for j, res in enumerate(blk.resnets):
+                h = torch.cat([h, skips.pop()], dim=1)
+                h = res(h, temb)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
+            if blk.upsamplers is not None:
+                h = blk.upsamplers[0](h)
+        return self.conv_out(F.silu(self.conv_norm_out(h)))
