@@ -5,6 +5,6 @@ from image_editing_framework_tpu.cli import edit_syn_main
 if __name__ == "__main__":
     edit_syn_main(
         "masactrl",
-        default_source="1 new bedroom",
-        default_target="1 new bedroom with a dog on the bed",
+        default_source="A standing dog on the grass field",
+        default_target="A running dog on the grass field",
     )

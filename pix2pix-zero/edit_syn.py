@@ -5,6 +5,6 @@ from image_editing_framework_tpu.cli import edit_syn_main
 if __name__ == "__main__":
     edit_syn_main(
         "p2z",
-        default_source="a round cake with orange frosting on a wooden plate",
-        default_target="a square cake with orange frosting on a wooden plate",
+        default_source="A photo of a cool boy with blue trousers",
+        default_target="A photo of a cool boy with yellow trousers",
     )

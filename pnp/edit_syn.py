@@ -10,5 +10,9 @@ pnp_f_t = 1.0
 if __name__ == "__main__":
     edit_syn_main(
         "pnp",
+        default_source=("A crisp, juicy green apple sits perched on a wooden "
+                        "table, its smooth surface glistening in the light"),
+        default_target=("A crisp, juicy red apple sits perched on a wooden "
+                        "table, its smooth surface glistening in the light"),
         method_kwargs={"config": PnPConfig(pnp_attn_t=pnp_attn_t, pnp_f_t=pnp_f_t)},
     )
