@@ -172,3 +172,14 @@ def test_direct_inversion_improves_cfg_reconstruction(pipe):
     err_plain = float(jnp.abs(plain[0] - lat[0]).mean())
     err_replay = float(jnp.abs(replay[0] - lat[0]).mean())
     assert err_replay < err_plain, (err_replay, err_plain)
+
+
+def test_edit_determinism(pipe):
+    """Same seed + inputs -> bitwise-identical edit outputs (no hidden
+    nondeterminism in kernels or scan plumbing)."""
+    lat = jax.random.normal(jax.random.PRNGKey(12), (1, 16, 16, 4))
+    a = p2p_edit(pipe, ["a cat sat", "a dog sat"], lat,
+                 P2PConfig(edit_type="replace"), SAMPLER)
+    b = p2p_edit(pipe, ["a cat sat", "a dog sat"], lat,
+                 P2PConfig(edit_type="replace"), SAMPLER)
+    np.testing.assert_array_equal(a, b)
