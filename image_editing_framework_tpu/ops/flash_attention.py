@@ -376,8 +376,8 @@ def flash_attention(
     v: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     sm_scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int | None = None,
+    block_k: int | None = None,
 ) -> jnp.ndarray:
     """softmax(q k^T * scale + bias) v with online softmax; differentiable.
 
@@ -386,11 +386,17 @@ def flash_attention(
       k/v: (B, H, Nk, D)
       bias: optional (B, Nk) per-key logit bias (segment / spatial masks),
         broadcast over heads and queries; NEG_INF disables a key.
+      block_q/block_k: tile sizes; default adapts to sequence length
+        (measured on v5e: 1024/1024 wins at >=4096 tokens, 256/512 below).
     Returns:
       (B, H, Nq, D) in q.dtype.
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if block_q is None:
+        block_q = 1024 if q.shape[2] >= 4096 else 256
+    if block_k is None:
+        block_k = 1024 if k.shape[2] >= 4096 else 512
     if bias is None:
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
     return _flash(q, k, v, bias, sm_scale, block_q, block_k)
