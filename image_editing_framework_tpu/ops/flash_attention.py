@@ -394,7 +394,7 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     if block_q is None:
-        block_q = 1024 if q.shape[2] >= 4096 else 256
+        block_q = 2048 if q.shape[2] >= 4096 else 256
     if block_k is None:
         block_k = 1024 if k.shape[2] >= 4096 else 512
     if bias is None:
