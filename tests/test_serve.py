@@ -1,0 +1,63 @@
+"""Editing service spool worker on the tiny pipeline."""
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from image_editing_framework_tpu.pipelines import tiny_pipeline
+from image_editing_framework_tpu.serve import EditService
+
+
+def test_service_handles_requests(tmp_path):
+    pipe = tiny_pipeline(num_steps=4)
+    svc = EditService(pipe, str(tmp_path), resolution=32)
+
+    img_path = str(tmp_path / "input.jpg")
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    ).save(img_path)
+
+    # real-image edit request
+    with open(os.path.join(svc.requests_dir, "job1.json"), "w") as f:
+        json.dump(
+            {
+                "method": "masactrl",
+                "source_prompt": "a cat",
+                "target_prompt": "a standing cat",
+                "image_path": img_path,
+                "inversion_type": "ddim",
+            },
+            f,
+        )
+    # synthesis request (no image)
+    with open(os.path.join(svc.requests_dir, "job2.json"), "w") as f:
+        json.dump(
+            {
+                "method": "p2p",
+                "source_prompt": "a cat sat",
+                "target_prompt": "a dog sat",
+                "image_path": None,
+                "seed": 7,
+            },
+            f,
+        )
+    # malformed request: must produce an error response, not crash
+    with open(os.path.join(svc.requests_dir, "job3.json"), "w") as f:
+        json.dump({"method": "nope", "source_prompt": "x", "target_prompt": "y"}, f)
+
+    assert svc.poll_once() == 3
+    assert svc.poll_once() == 0  # spool drained
+
+    r1 = json.load(open(os.path.join(svc.results_dir, "job1", "response.json")))
+    assert r1["status"] == "ok" and r1["latency_s"] > 0
+    for f_ in ("source.png", "inversion.png", "edit.png"):
+        assert os.path.exists(os.path.join(svc.results_dir, "job1", f_))
+
+    r2 = json.load(open(os.path.join(svc.results_dir, "job2", "response.json")))
+    assert r2["status"] == "ok"
+    assert os.path.exists(os.path.join(svc.results_dir, "job2", "edit.png"))
+
+    r3 = json.load(open(os.path.join(svc.results_dir, "job3", "response.json")))
+    assert r3["status"] == "error" and "nope" in r3["error"]
