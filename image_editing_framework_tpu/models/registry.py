@@ -76,6 +76,44 @@ def _skeleton(module, *args, **kwargs):
     return jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
 
 
+# ---------------------------------------------------------------------------
+# orbax param cache: skip safetensors conversion on repeat loads
+
+
+def save_pipeline_cache(pipe, cache_dir: str) -> None:
+    """Persist a loaded pipeline's param trees with orbax (async-safe,
+    chunked, mmap-restorable) so later loads skip key mapping entirely."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    trees = {
+        "unet": pipe.unet_params,
+        "vae": pipe.vae_params,
+        "text": pipe.text_params,
+    }
+    if pipe.text_params_2 is not None:
+        trees["text2"] = pipe.text_params_2
+    for name, tree in trees.items():
+        ckptr.save(os.path.join(os.path.abspath(cache_dir), name), tree)
+    ckptr.wait_until_finished()
+
+
+def restore_pipeline_cache(pipe, cache_dir: str):
+    """Restore param trees saved by save_pipeline_cache into ``pipe``."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    root = os.path.abspath(cache_dir)
+    pipe.unet_params = ckptr.restore(os.path.join(root, "unet"), pipe.unet_params)
+    pipe.vae_params = ckptr.restore(os.path.join(root, "vae"), pipe.vae_params)
+    pipe.text_params = ckptr.restore(os.path.join(root, "text"), pipe.text_params)
+    if pipe.text_params_2 is not None and os.path.isdir(os.path.join(root, "text2")):
+        pipe.text_params_2 = ckptr.restore(
+            os.path.join(root, "text2"), pipe.text_params_2
+        )
+    return pipe
+
+
 def load_pipeline(
     sd_version: str,
     num_inference_steps: int = 50,

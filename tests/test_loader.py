@@ -145,3 +145,21 @@ def test_clip_parity_vs_transformers():
     np.testing.assert_allclose(
         np.asarray(out["pooled"]), hf_out.text_embeds.numpy(), atol=2e-5
     )
+
+
+def test_orbax_pipeline_cache_roundtrip(tmp_path):
+    from image_editing_framework_tpu.models.registry import (
+        restore_pipeline_cache,
+        save_pipeline_cache,
+    )
+    from image_editing_framework_tpu.pipelines import tiny_pipeline
+
+    pipe = tiny_pipeline(num_steps=4)
+    orig = jax.tree_util.tree_leaves(pipe.unet_params)[0].copy()
+    save_pipeline_cache(pipe, str(tmp_path / "cache"))
+
+    # clobber, then restore
+    pipe.unet_params = jax.tree_util.tree_map(jnp.zeros_like, pipe.unet_params)
+    restore_pipeline_cache(pipe, str(tmp_path / "cache"))
+    back = jax.tree_util.tree_leaves(pipe.unet_params)[0]
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(orig))
