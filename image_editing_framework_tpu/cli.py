@@ -11,7 +11,6 @@ Flag names and defaults mirror the reference (p2p/edit_real.py:19-27);
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import time
 from typing import Optional

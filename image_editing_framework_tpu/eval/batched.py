@@ -12,13 +12,12 @@ matrices, mixed edit types batch together with no recompilation.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from image_editing_framework_tpu.core.config import P2PConfig
-from image_editing_framework_tpu.core.scheduler import DDIMSchedule
 from image_editing_framework_tpu.inversion.ddim import _invert_scan
 from image_editing_framework_tpu.methods.base import LocalBlend, _denoise_scan
 from image_editing_framework_tpu.ops import controls as ctl

@@ -15,7 +15,7 @@ the module still runs (random init) for shape/behavior tests, but
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

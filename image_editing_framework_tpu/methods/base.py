@@ -13,7 +13,7 @@ cross-attention maps in the scan carry and blends after every scheduler step
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ input of SDXL_REFINER_UNET.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

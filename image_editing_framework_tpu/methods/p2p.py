@@ -8,7 +8,7 @@ jitted scan.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

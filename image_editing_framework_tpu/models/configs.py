@@ -8,7 +8,6 @@ ghostv2, cf, anythingv4-5) reuse the SDXL / SD1.5 architectures.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 from image_editing_framework_tpu.models.unet import UNetConfig

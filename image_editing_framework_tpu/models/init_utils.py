@@ -9,7 +9,6 @@ host-generated normals instead.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

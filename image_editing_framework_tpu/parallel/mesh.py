@@ -9,7 +9,7 @@ Collectives ride ICI via XLA GSPMD; DCN only ever carries the data axis.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -20,7 +20,6 @@ Partial results merge with the standard two-estimate log-sum-exp combine:
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 
