@@ -110,3 +110,37 @@ def test_img2img_refine(xl):
     img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
     out = img2img(xl, img, "a cat", strength=0.5)
     assert out.shape == (1, 32, 32, 3)
+
+
+def test_img2img_refiner_five_time_ids():
+    """The refiner's (orig, crop, aesthetic_score) 5-id addition path."""
+    import dataclasses
+
+    from image_editing_framework_tpu.methods.img2img import img2img, refiner_time_ids
+    from image_editing_framework_tpu.models import configs
+
+    ids = refiner_time_ids(1024, 1024, 2, aesthetic_score=6.0)
+    assert ids.shape == (2, 5)
+    np.testing.assert_allclose(np.asarray(ids[0]), [1024, 1024, 0, 0, 6.0])
+
+    pipe = tiny_pipeline(num_steps=4, model_type="xl")
+    # rebuild the tiny XL pipe with a refiner-style 5-id projection input
+    ref_cfg = dataclasses.replace(
+        configs.TINY_XL_UNET,
+        projection_class_embeddings_input_dim=16 + 8 * 5,
+    )
+    from image_editing_framework_tpu.models.unet import UNet2DCondition
+
+    unet = UNet2DCondition(ref_cfg)
+    added = {
+        "text_embeds": jnp.zeros((1, 16)),
+        "time_ids": jnp.zeros((1, 5)),
+    }
+    pipe.unet = unet
+    pipe.unet_params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)), 0,
+        jnp.zeros((1, 77, 32)), None, added,
+    )
+    img = np.random.RandomState(3).randint(0, 255, (32, 32, 3), np.uint8)
+    out = img2img(pipe, img, "a cat", strength=0.5)
+    assert out.shape == (1, 32, 32, 3)
