@@ -77,9 +77,18 @@ def bf16_to_f32(raw_u16: np.ndarray) -> np.ndarray:
     return out.view(np.float32)
 
 
+class _OwnedView(np.ndarray):
+    """ndarray view that keeps its MmapSafetensors reader alive: the mapped
+    region must not be munmap'ed (reader __del__) while any tensor view —
+    or a CPU-backend jax.Array aliasing it — still points into it."""
+
+    _owner = None
+
+
 class MmapSafetensors:
     """Zero-copy safetensors file. Tensor access returns views into the
-    mapped file (read-only); bf16 tensors are converted to float32 on read."""
+    mapped file (read-only) that keep the mapping alive for their own
+    lifetime; bf16 tensors are converted to float32 on read (a real copy)."""
 
     def __init__(self, path: str):
         lib = _load_lib()
@@ -116,29 +125,35 @@ class MmapSafetensors:
         shape = tuple(info["shape"])
         dt = info["dtype"]
         if dt == "BF16":
-            return bf16_to_f32(raw.view(np.uint16)).reshape(shape)
+            return bf16_to_f32(raw.view(np.uint16)).reshape(shape)  # a copy
         np_dt = _DTYPES[dt]
         if np_dt is None:
             raise ValueError(f"unsupported dtype {dt}")
-        return raw.view(np_dt).reshape(shape)
+        view = raw.view(np_dt).reshape(shape).view(_OwnedView)
+        view._owner = self
+        return view
 
     def items(self) -> Iterator[Tuple[str, np.ndarray]]:
         for k in self.meta:
             yield k, self[k]
 
     def close(self) -> None:
+        """Explicitly unmap the file. Only safe when no tensor view returned
+        by __getitem__ — nor any jax.Array that zero-copy-aliased one on the
+        CPU backend — can still be read. Deliberately NOT called from a
+        __del__: the CPU backend may alias the mapped pages without holding a
+        Python reference, so unmapping on garbage collection is a
+        use-after-free (wandering segfaults under real load). An unclosed
+        read-only file-backed mapping costs address space only; the pages are
+        reclaimable and the process exit releases everything."""
         if self._handle:
             self._lib.sts_close(self._handle)
             self._handle = None
 
-    def __del__(self):  # pragma: no cover
-        try:
-            self.close()
-        except Exception:
-            pass
-
 
 def available() -> bool:
+    if os.environ.get("IEF_DISABLE_NATIVE"):
+        return False
     try:
         _load_lib()
         return True

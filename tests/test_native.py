@@ -35,6 +35,27 @@ def test_native_reader_matches(st_file):
     f.close()
 
 
+def test_views_outlive_reader(st_file):
+    """Regression: tensor views (and CPU-backend jax aliases of them) must
+    keep the mmap alive after the reader object is garbage-collected —
+    previously __del__ munmap'ed under live views (use-after-free segfault
+    in any pipeline whose params aliased the mapping)."""
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    import gc
+
+    import jax.numpy as jnp
+
+    path, tensors = st_file
+    f = native.MmapSafetensors(path)
+    view = f["a.weight"]
+    jarr = jnp.asarray(f["a.bias"])  # may zero-copy alias on CPU
+    del f
+    gc.collect()
+    np.testing.assert_array_equal(np.asarray(view), tensors["a.weight"])
+    np.testing.assert_array_equal(np.asarray(jarr), tensors["a.bias"])
+
+
 def test_bf16_widening():
     x = np.array([1.5, -2.25, 0.0], np.float32)
     bf = (x.view(np.uint32) >> 16).astype(np.uint16)  # truncate to bf16
