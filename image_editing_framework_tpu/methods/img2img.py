@@ -52,15 +52,9 @@ def img2img(
     if pipe.model_type == "xl":
         hh = latent.shape[1] * 8
         ww = latent.shape[2] * 8
-        cfg = pipe.unet.config
-        pooled_dim = added["text_embeds"].shape[-1]
-        n_ids = (
-            cfg.projection_class_embeddings_input_dim - pooled_dim
-        ) // cfg.addition_time_embed_dim
-        if n_ids == 5:  # refiner: (orig, crop, aesthetic_score)
-            tids = refiner_time_ids(hh, ww, 2, aesthetic_score)
-        else:  # base: (orig, crop, target)
-            tids = pipe.add_time_ids(hh, ww, 2)
+        # pipe.add_time_ids emits the refiner's 5-id (orig, crop,
+        # aesthetic_score) layout when pipe.is_refiner, else the base 6-id one.
+        tids = pipe.add_time_ids(hh, ww, 2, aesthetic_score)
         added_cond = {"text_embeds": added["text_embeds"], "time_ids": tids}
 
     def step(lat, i):

@@ -68,6 +68,22 @@ TINY_UNET = UNetConfig(
     cross_attention_dim=32,
 )
 
+# Tiny refiner flavor: mirrors SDXL_REFINER_UNET's distinguishing structure —
+# attention-free outermost AND innermost blocks (down ends in DownBlock2D),
+# 5 addition time ids (orig_size, crop, aesthetic_score).
+TINY_REFINER_UNET = UNetConfig(
+    block_out_channels=(32, 64, 64),
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
+    layers_per_block=1,
+    num_heads=(2, 2, 2),
+    transformer_layers=(1, 2, 2),
+    cross_attention_dim=32,
+    use_linear_projection=True,
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=16 + 8 * 5,
+)
+
 TINY_XL_UNET = UNetConfig(
     block_out_channels=(32, 64),
     down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),

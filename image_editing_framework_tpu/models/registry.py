@@ -38,6 +38,13 @@ class VersionSpec:
     text_2: Optional[CLIPTextConfig] = None
     vae_scaling: float = configs.SD_VAE_SCALING
     sample_size: int = 512
+    # Full VAE architecture override (tests inject tiny configs); None means
+    # the standard SD VAE at this version's scaling factor.
+    vae: Optional[VAEConfig] = None
+
+    @property
+    def vae_config(self) -> VAEConfig:
+        return self.vae or VAEConfig(scaling_factor=self.vae_scaling)
 
 
 VERSION_SPECS = {
@@ -48,8 +55,12 @@ VERSION_SPECS = {
         "xl", configs.SDXL_UNET, CLIP_VIT_L, OPEN_CLIP_BIG_G,
         vae_scaling=configs.SDXL_VAE_SCALING, sample_size=1024,
     ),
+    # 'xl-refiner' = an XL-*base* editing pipeline with the refiner img2img
+    # pipeline attached (reference: p2p/edit_real.py:77-89 loads the XL
+    # pipeline from sd_maps[version] and the refiner from refiner_key,
+    # sharing text_encoder_2/vae). The refiner itself uses REFINER_SPEC.
     "xl-refiner": VersionSpec(
-        "xl", configs.SDXL_REFINER_UNET, CLIP_VIT_L, OPEN_CLIP_BIG_G,
+        "xl", configs.SDXL_UNET, CLIP_VIT_L, OPEN_CLIP_BIG_G,
         vae_scaling=configs.SDXL_VAE_SCALING, sample_size=1024,
     ),
     # single-file community checkpoints reuse the base architectures
@@ -61,6 +72,13 @@ VERSION_SPECS = {
     "cf": VersionSpec("sd", configs.SD15_UNET, CLIP_VIT_L),
     "anythingv4-5": VersionSpec("sd", configs.SD15_UNET, CLIP_VIT_L),
 }
+
+# The refiner's own architecture: bigG tower only (the ``text`` field holds
+# the single tower's config), 1280-wide cross-attention, 5 addition time ids.
+REFINER_SPEC = VersionSpec(
+    "xl", configs.SDXL_REFINER_UNET, OPEN_CLIP_BIG_G,
+    vae_scaling=configs.SDXL_VAE_SCALING, sample_size=1024,
+)
 
 
 def _weights(directory: str, sub: str, base: str = "diffusion_pytorch_model"):
@@ -74,6 +92,19 @@ def _weights(directory: str, sub: str, base: str = "diffusion_pytorch_model"):
 
 def _skeleton(module, *args, **kwargs):
     return jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
+
+
+def _added_cond_skeleton(unet_cfg, dtype, n_time_ids: int = 6):
+    """Shape-only SDXL added-cond dict: pooled width follows from the
+    projection input minus the time-id embeddings (base 6 ids, refiner 5)."""
+    pooled = (
+        unet_cfg.projection_class_embeddings_input_dim
+        - n_time_ids * unet_cfg.addition_time_embed_dim
+    )
+    return {
+        "text_embeds": jnp.zeros((1, pooled), dtype),
+        "time_ids": jnp.zeros((1, n_time_ids), dtype),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -119,23 +150,32 @@ def load_pipeline(
     num_inference_steps: int = 50,
     dtype=jnp.float32,
     path: Optional[str] = None,
+    spec: Optional[VersionSpec] = None,
+    refiner_path: Optional[str] = None,
+    refiner_spec: Optional[VersionSpec] = None,
 ) -> SDPipeline:
     """Build a fully-loaded SDPipeline for a registry version.
 
-    ``path`` overrides ``sd_mapping.sd_maps[sd_version]``. Single-file
-    checkpoints are not yet supported by the offline loader — convert them to
-    the diffusers directory layout first (tracked as a follow-up).
+    ``path`` overrides ``sd_mapping.sd_maps[sd_version]``. Both HF-snapshot
+    directory layouts and single-file ``.safetensors`` checkpoints (incl. XL
+    and SD2.x LDM key layouts, via models/convert_ldm.py) are supported.
+
+    ``sd_version='xl-refiner'`` loads the XL-base editing pipeline and
+    attaches the refiner img2img pipeline as ``pipe.refiner``, sharing
+    text_encoder_2/vae with the base (reference: p2p/edit_real.py:77-89).
+    ``spec``/``refiner_spec`` override the architecture presets (tests inject
+    tiny configs through the full loader path).
     """
     if sd_version not in VERSION_SPECS:
         raise ValueError(f"please use the right sd_version (got {sd_version!r})")
-    spec = VERSION_SPECS[sd_version]
+    spec = spec or VERSION_SPECS[sd_version]
     root = path or sd_mapping.sd_maps[sd_version]
     single_file = root.endswith(".safetensors")
     text2_ckpt = None
     if single_file:
         from image_editing_framework_tpu.models import convert_ldm
 
-        vae_cfg_tmp = VAEConfig(scaling_factor=spec.vae_scaling)
+        vae_cfg_tmp = spec.vae_config
         if spec.model_type == "xl":
             unet_ckpt, vae_ckpt, text_ckpt, text2_ckpt = (
                 convert_ldm.convert_single_file_xl(root, spec.unet, vae_cfg_tmp)
@@ -155,17 +195,7 @@ def load_pipeline(
     unet = UNet2DCondition(spec.unet, dtype=dtype)
     x = jnp.zeros((1, spec.sample_size // 8, spec.sample_size // 8, 4), dtype)
     ctx = jnp.zeros((1, 77, spec.unet.cross_attention_dim), dtype)
-    added = (
-        {
-            "text_embeds": jnp.zeros((1, 1280), dtype),
-            "time_ids": jnp.zeros(
-                (1, 6 if spec.unet.projection_class_embeddings_input_dim == 2816 else 5),
-                dtype,
-            ),
-        }
-        if is_xl
-        else None
-    )
+    added = _added_cond_skeleton(spec.unet, dtype) if is_xl else None
     unet_params = loader.load_params(
         _skeleton(unet, x, 0, ctx, None, added),
         unet_ckpt if single_file else _weights(root, "unet"),
@@ -173,7 +203,7 @@ def load_pipeline(
         dtype,
     )
 
-    vae_cfg = VAEConfig(scaling_factor=spec.vae_scaling)
+    vae_cfg = spec.vae_config
     vae = AutoencoderKL(vae_cfg, dtype=dtype)
     vae_params = loader.load_params(
         _skeleton(vae, jnp.zeros((1, 64, 64, 3), dtype)),
@@ -223,4 +253,85 @@ def load_pipeline(
         if not os.path.isdir(tok2):
             tok2 = tok_dir if single_file else tok2
         pipe.tokenizer_2 = CLIPTokenizer.from_dir(tok2)
+    if sd_version == "xl-refiner":
+        pipe.refiner = load_refiner_pipeline(
+            path=refiner_path,
+            base=pipe,
+            num_inference_steps=num_inference_steps,
+            dtype=dtype,
+            spec=refiner_spec,
+        )
     return pipe
+
+
+def load_refiner_pipeline(
+    path: Optional[str] = None,
+    base: Optional[SDPipeline] = None,
+    num_inference_steps: int = 50,
+    dtype=jnp.float32,
+    spec: Optional[VersionSpec] = None,
+) -> SDPipeline:
+    """Load the SDXL refiner img2img pipeline (SDXL_REFINER_UNET: bigG tower
+    only, 1280-wide context, 5 addition time ids with aesthetic_score).
+
+    When ``base`` is given, text_encoder_2 / vae / tokenizer_2 / scheduler are
+    *shared* with it — the reference's
+    ``StableDiffusionXLImg2ImgPipeline.from_pretrained(refiner_key,
+    text_encoder_2=pipe.text_encoder_2, vae=pipe.vae)``
+    (p2p/edit_real.py:80-88). Standalone loads read them from the refiner
+    checkpoint directory (which ships text_encoder_2/ and vae/ but no
+    text_encoder/).
+    """
+    spec = spec or REFINER_SPEC
+    root = path or sd_mapping.refiner_key
+
+    unet = UNet2DCondition(spec.unet, dtype=dtype)
+    x = jnp.zeros((1, spec.sample_size // 8, spec.sample_size // 8, 4), dtype)
+    ctx = jnp.zeros((1, 77, spec.unet.cross_attention_dim), dtype)
+    added = _added_cond_skeleton(spec.unet, dtype, n_time_ids=5)
+    unet_params = loader.load_params(
+        _skeleton(unet, x, 0, ctx, None, added),
+        _weights(root, "unet"),
+        loader.unet_key,
+        dtype,
+    )
+
+    if base is not None:
+        vae, vae_params = base.vae, base.vae_params
+        text2, text2_params = base.text_encoder_2, base.text_params_2
+        tok2 = base.tokenizer_2
+        scheduler = base.scheduler
+    else:
+        vae = AutoencoderKL(spec.vae_config, dtype=dtype)
+        vae_params = loader.load_params(
+            _skeleton(vae, jnp.zeros((1, 64, 64, 3), dtype)),
+            _weights(root, "vae"),
+            loader.vae_key,
+            dtype,
+        )
+        text2 = CLIPTextModel(spec.text, dtype=dtype)
+        text2_params = loader.load_params(
+            _skeleton(text2, jnp.zeros((1, 77), jnp.int32)),
+            _weights(root, "text_encoder_2", "model"),
+            loader.clip_key,
+            dtype,
+        )
+        tok2 = CLIPTokenizer.from_dir(os.path.join(root, "tokenizer_2"))
+        scheduler = make_ddim_schedule(num_inference_steps)
+
+    return SDPipeline(
+        model_type="xl",
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        text_encoder=text2,
+        text_params=text2_params,
+        tokenizer=tok2,
+        scheduler=scheduler,
+        text_encoder_2=text2,
+        text_params_2=text2_params,
+        tokenizer_2=tok2,
+        dtype=dtype,
+        is_refiner=True,
+    )

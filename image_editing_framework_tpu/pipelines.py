@@ -41,6 +41,13 @@ class SDPipeline:
     text_params_2: Any = None
     tokenizer_2: Any = None
     dtype: Any = jnp.float32
+    # SDXL refiner flavor: single bigG text tower (1280-wide context),
+    # (orig, crop, aesthetic_score) time ids, real (non-zero) uncond encode.
+    is_refiner: bool = False
+    # The attached img2img refinement pipeline when this pipe was loaded as
+    # sd_version='xl-refiner' (reference: p2p/edit_real.py:77-89 loads the
+    # refiner alongside the XL-base editing pipe, sharing text_encoder_2/vae).
+    refiner: Optional["SDPipeline"] = None
 
     # ------------------------------------------------------------------ text
 
@@ -82,20 +89,52 @@ class SDPipeline:
         pooled = jnp.concatenate([jnp.zeros_like(pooled), pooled], axis=0)
         return context, pooled
 
+    def encode_prompts_refiner(
+        self, prompts: Sequence[str], negative_prompt: str = ""
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """SDXL-refiner single-tower encode: context = bigG penultimate
+        (1280-wide, matching SDXL_REFINER_UNET.cross_attention_dim), pooled
+        from the same tower. The reference builds the refiner with
+        force_zeros_for_empty_prompt=False (p2p/edit_real.py:80-88), so the
+        unconditional half is the *encoded* empty prompt, not zeros."""
+        p = len(prompts)
+        tok = self.tokenizer_2 or self.tokenizer
+        enc = self.text_encoder_2 or self.text_encoder
+        par = self.text_params_2 if self.text_encoder_2 is not None else self.text_params
+        ids = self._token_ids(list(prompts) + [negative_prompt] * p, tok)
+        out = enc.apply(par, ids)
+        ctx, pooled = out["penultimate"], out["pooled"]
+        context = jnp.concatenate([ctx[p:], ctx[:p]], axis=0)  # [uncond, cond]
+        pooled = jnp.concatenate([pooled[p:], pooled[:p]], axis=0)
+        return context, pooled
+
     def encode_prompts(self, prompts: Sequence[str]):
         """Returns (context, added_cond or None) for self.model_type."""
         if self.model_type == "xl":
-            context, pooled = self.encode_prompts_xl(prompts)
+            if self.is_refiner:
+                context, pooled = self.encode_prompts_refiner(prompts)
+            else:
+                context, pooled = self.encode_prompts_xl(prompts)
             return context, {"text_embeds": pooled}
         return self.encode_prompts_sd(prompts), None
 
-    def add_time_ids(self, height: int, width: int, batch: int) -> jnp.ndarray:
-        """SDXL (orig_h, orig_w, crop_t, crop_l, target_h, target_w)
-        (reference: model._get_add_time_ids call, p2p/inversion/ddim.py:66-76)."""
-        ids = jnp.asarray(
-            [[height, width, 0, 0, height, width]], dtype=jnp.float32
-        )
-        return jnp.broadcast_to(ids, (batch, 6))
+    def add_time_ids(
+        self, height: int, width: int, batch: int, aesthetic_score: float = 6.0
+    ) -> jnp.ndarray:
+        """SDXL addition time ids. Base: (orig_h, orig_w, crop_t, crop_l,
+        target_h, target_w) (reference: model._get_add_time_ids call,
+        p2p/inversion/ddim.py:66-76). Refiner: (orig_h, orig_w, crop_t,
+        crop_l, aesthetic_score) — 5 ids x 256 dims + 1280 pooled = the 2560
+        projection input of SDXL_REFINER_UNET."""
+        if self.is_refiner:
+            ids = jnp.asarray(
+                [[height, width, 0, 0, aesthetic_score]], dtype=jnp.float32
+            )
+        else:
+            ids = jnp.asarray(
+                [[height, width, 0, 0, height, width]], dtype=jnp.float32
+            )
+        return jnp.broadcast_to(ids, (batch, ids.shape[-1]))
 
     # ----------------------------------------------------------------- image
 
@@ -124,7 +163,10 @@ class SDPipeline:
 
 def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
     """Random-weight tiny pipeline for tests (the reference's validation
-    strategy offers no fixtures — SURVEY.md §4 — so we build our own)."""
+    strategy offers no fixtures — SURVEY.md §4 — so we build our own).
+
+    model_type: 'sd', 'xl', or 'xl-refiner' (single bigG-style tower,
+    5 time ids, is_refiner=True)."""
     from image_editing_framework_tpu.models import configs
     from image_editing_framework_tpu.models.clip import TINY_CLIP, CLIPTextModel
     from image_editing_framework_tpu.models.tokenizer import WordTokenizer
@@ -132,34 +174,48 @@ def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
 
     rng = jax.random.PRNGKey(seed)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
-    is_xl = model_type == "xl"
-    unet_cfg = configs.TINY_XL_UNET if is_xl else configs.TINY_UNET
+    is_refiner = model_type == "xl-refiner"
+    is_xl = model_type == "xl" or is_refiner
+    unet_cfg = (
+        configs.TINY_REFINER_UNET
+        if is_refiner
+        else configs.TINY_XL_UNET if is_xl else configs.TINY_UNET
+    )
     unet = UNet2DCondition(unet_cfg)
     x = jnp.zeros((1, 16, 16, 4))
     ctx_dim = unet_cfg.cross_attention_dim
     ctx = jnp.zeros((1, 77, ctx_dim))
     added = (
-        {"text_embeds": jnp.zeros((1, 16)), "time_ids": jnp.zeros((1, 6))}
+        {
+            "text_embeds": jnp.zeros((1, 16)),
+            "time_ids": jnp.zeros((1, 5 if is_refiner else 6)),
+        }
         if is_xl
         else None
     )
-    unet_params = unet.init(k1, x, 0, ctx, None, added)
+    # use_flash=False: param init never needs the kernel, and this fixture
+    # must build on virtual CPU meshes even when the default backend is TPU.
+    unet_params = unet.init(k1, x, 0, ctx, None, added, False)
 
     vae = AutoencoderKL(TINY_VAE)
     vae_params = vae.init(k2, jnp.zeros((1, 32, 32, 3)))
 
-    # XL: the context is the concat of both encoders' penultimate states, so
-    # each tiny tower gets half the cross-attention width.
-    hid = ctx_dim // 2 if is_xl else ctx_dim
+    # XL base: the context is the concat of both encoders' penultimate
+    # states, so each tiny tower gets half the cross-attention width.
+    # Refiner: one bigG-style tower carries the full width.
+    hid = ctx_dim if is_refiner or not is_xl else ctx_dim // 2
     tokenizer = WordTokenizer(vocab_size=64)
     clip_cfg = dataclasses.replace(
-        TINY_CLIP, hidden_size=hid, projection_dim=None, vocab_size=64
+        TINY_CLIP,
+        hidden_size=hid,
+        projection_dim=16 if is_refiner else None,
+        vocab_size=64,
     )
     text = CLIPTextModel(clip_cfg)
     text_params = text.init(k3, jnp.zeros((1, 77), jnp.int32))
 
     pipe = SDPipeline(
-        model_type=model_type,
+        model_type="xl" if is_xl else model_type,
         unet=unet,
         unet_params=unet_params,
         vae=vae,
@@ -168,8 +224,14 @@ def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
         text_params=text_params,
         tokenizer=tokenizer,
         scheduler=make_ddim_schedule(num_steps),
+        is_refiner=is_refiner,
     )
-    if is_xl:
+    if is_refiner:
+        # the single tower serves as text_encoder_2 (bigG role)
+        pipe.text_encoder_2 = text
+        pipe.text_params_2 = text_params
+        pipe.tokenizer_2 = tokenizer
+    elif is_xl:
         clip2 = dataclasses.replace(
             TINY_CLIP, hidden_size=hid, projection_dim=16, vocab_size=64
         )

@@ -83,6 +83,46 @@ def test_vae_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(dec), ref_dec, atol=2e-4, rtol=2e-4)
 
 
+def test_refiner_unet_matches_torch_oracle():
+    """Refiner-flavor composition: attention-free outer+inner blocks, 5
+    addition time ids (orig, crop, aesthetic_score) — SDXL_REFINER_UNET's
+    structure at tiny scale, through the production loader."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracle import TinyTorchRefinerUNet
+
+    torch.manual_seed(3)
+    oracle = TinyTorchRefinerUNet().eval()
+    ckpt = {k: v.numpy() for k, v in oracle.state_dict().items()}
+
+    m = UNet2DCondition(configs.TINY_REFINER_UNET)
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 16, 16, 4).astype(np.float32)
+    ctx = rng.randn(2, 77, 32).astype(np.float32)
+    pooled = rng.randn(2, 16).astype(np.float32)
+    tids = np.array([[1024, 1024, 0, 0, 6.0]] * 2, np.float32)
+    t = np.array([42, 42], np.int64)
+    added = {"text_embeds": jnp.asarray(pooled), "time_ids": jnp.asarray(tids)}
+
+    skeleton = jax.eval_shape(
+        lambda: m.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), 0, jnp.asarray(ctx), None, added
+        )
+    )
+    params = loader.load_params(skeleton, ckpt, loader.unet_key)
+    out, _ = m.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), None, added
+    )
+    with torch.no_grad():
+        ref = oracle(
+            torch.tensor(x.transpose(0, 3, 1, 2)),
+            torch.tensor(t),
+            torch.tensor(ctx),
+            torch.tensor(pooled),
+            torch.tensor(tids),
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=3e-4)
+
+
 def test_xl_unet_matches_torch_oracle():
     torch = pytest.importorskip("torch")
     from tests.torch_oracle import TinyTorchXLUNet

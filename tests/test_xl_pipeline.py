@@ -112,35 +112,52 @@ def test_img2img_refine(xl):
     assert out.shape == (1, 32, 32, 3)
 
 
-def test_img2img_refiner_five_time_ids():
-    """The refiner's (orig, crop, aesthetic_score) 5-id addition path."""
-    import dataclasses
+@pytest.fixture(scope="module")
+def refiner():
+    return tiny_pipeline(num_steps=4, model_type="xl-refiner")
 
-    from image_editing_framework_tpu.methods.img2img import img2img, refiner_time_ids
-    from image_editing_framework_tpu.models import configs
+
+def test_refiner_encode_prompts(refiner):
+    """Refiner encode: single tower, full-width context, non-zero uncond
+    (force_zeros_for_empty_prompt=False, reference p2p/edit_real.py:80-88)."""
+    assert refiner.is_refiner
+    ctx, added = refiner.encode_prompts(["a cat"])
+    # full cross_attention_dim from ONE tower (not a 2-tower concat)
+    assert ctx.shape == (2, 77, 32)
+    assert added["text_embeds"].shape == (2, 16)
+    # uncond half is the encoded empty prompt — NOT zeros
+    assert float(np.abs(np.asarray(ctx[0])).max()) > 0
+    # and equals an explicit empty-prompt encode through the same tower
+    ids = jnp.asarray(
+        __import__(
+            "image_editing_framework_tpu.models.tokenizer", fromlist=["pad_token_ids"]
+        ).pad_token_ids(refiner.tokenizer, [""])
+    )
+    out = refiner.text_encoder_2.apply(refiner.text_params_2, ids)
+    np.testing.assert_allclose(
+        np.asarray(ctx[0]), np.asarray(out["penultimate"][0]), atol=1e-6
+    )
+
+
+def test_refiner_time_ids(refiner):
+    """The refiner's (orig, crop, aesthetic_score) 5-id addition layout."""
+    from image_editing_framework_tpu.methods.img2img import refiner_time_ids
 
     ids = refiner_time_ids(1024, 1024, 2, aesthetic_score=6.0)
     assert ids.shape == (2, 5)
     np.testing.assert_allclose(np.asarray(ids[0]), [1024, 1024, 0, 0, 6.0])
-
-    pipe = tiny_pipeline(num_steps=4, model_type="xl")
-    # rebuild the tiny XL pipe with a refiner-style 5-id projection input
-    ref_cfg = dataclasses.replace(
-        configs.TINY_XL_UNET,
-        projection_class_embeddings_input_dim=16 + 8 * 5,
+    # the pipeline emits the same layout when is_refiner
+    np.testing.assert_allclose(
+        np.asarray(refiner.add_time_ids(1024, 1024, 2, 6.0)), np.asarray(ids)
     )
-    from image_editing_framework_tpu.models.unet import UNet2DCondition
+    base = tiny_pipeline(num_steps=4, model_type="xl")
+    assert base.add_time_ids(128, 128, 1).shape == (1, 6)
 
-    unet = UNet2DCondition(ref_cfg)
-    added = {
-        "text_embeds": jnp.zeros((1, 16)),
-        "time_ids": jnp.zeros((1, 5)),
-    }
-    pipe.unet = unet
-    pipe.unet_params = unet.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)), 0,
-        jnp.zeros((1, 77, 32)), None, added,
-    )
+
+def test_img2img_through_refiner_pipe(refiner):
+    """e2e img2img on the refiner flavor (5 time ids, single tower)."""
+    from image_editing_framework_tpu.methods.img2img import img2img
+
     img = np.random.RandomState(3).randint(0, 255, (32, 32, 3), np.uint8)
-    out = img2img(pipe, img, "a cat", strength=0.5)
+    out = img2img(refiner, img, "a cat", strength=0.5)
     assert out.shape == (1, 32, 32, 3)

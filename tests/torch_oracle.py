@@ -467,3 +467,61 @@ class TinyTorchXLUNet(nn.Module):
             if blk.upsamplers is not None:
                 h = blk.upsamplers[0](h)
         return self.conv_out(F.silu(self.conv_norm_out(h)))
+
+
+class TinyTorchRefinerUNet(nn.Module):
+    """TINY_REFINER_UNET: levels (32, 64, 64), down = [Down, CrossAttn(tl=2),
+    Down], up = [Up, CrossAttnUp(tl=2), Up], heads 2, ctx 32, linear
+    projection, 5 addition time ids (orig, crop, aesthetic_score),
+    addition_time_embed_dim 8, pooled 16 (projection input 16 + 8*5 = 56) —
+    the refiner's distinguishing structure: attention-free outermost and
+    innermost blocks (SDXL_REFINER_UNET, configs.py)."""
+
+    def __init__(self):
+        super().__init__()
+        temb = 128
+        self.time_embedding = TimestepEmbedding(32, temb)
+        self.add_embedding = TimestepEmbedding(56, temb)
+        self.conv_in = nn.Conv2d(4, 32, 3, padding=1)
+
+        d0 = nn.Module()
+        d0.resnets = nn.ModuleList([ResnetBlock(32, 32, temb)])
+        d0.downsamplers = nn.ModuleList([Downsample(32)])
+        d1 = nn.Module()
+        d1.resnets = nn.ModuleList([ResnetBlock(32, 64, temb)])
+        d1.attentions = nn.ModuleList([Transformer2DLinear(64, 2, 32, 2)])
+        d1.downsamplers = nn.ModuleList([Downsample(64)])
+        d2 = nn.Module()
+        d2.resnets = nn.ModuleList([ResnetBlock(64, 64, temb)])
+        d2.downsamplers = None
+        self.down_blocks = nn.ModuleList([d0, d1, d2])
+
+        m = nn.Module()
+        m.resnets = nn.ModuleList([ResnetBlock(64, 64, temb), ResnetBlock(64, 64, temb)])
+        m.attentions = nn.ModuleList([Transformer2DLinear(64, 2, 32, 2)])
+        self.mid_block = m
+
+        u0 = nn.Module()
+        u0.resnets = nn.ModuleList(
+            [ResnetBlock(64 + 64, 64, temb), ResnetBlock(64 + 64, 64, temb)]
+        )
+        u0.upsamplers = nn.ModuleList([Upsample(64)])
+        u1 = nn.Module()
+        u1.resnets = nn.ModuleList(
+            [ResnetBlock(64 + 64, 64, temb), ResnetBlock(64 + 32, 64, temb)]
+        )
+        u1.attentions = nn.ModuleList(
+            [Transformer2DLinear(64, 2, 32, 2), Transformer2DLinear(64, 2, 32, 2)]
+        )
+        u1.upsamplers = nn.ModuleList([Upsample(64)])
+        u2 = nn.Module()
+        u2.resnets = nn.ModuleList(
+            [ResnetBlock(64 + 32, 32, temb), ResnetBlock(32 + 32, 32, temb)]
+        )
+        u2.upsamplers = None
+        self.up_blocks = nn.ModuleList([u0, u1, u2])
+
+        self.conv_norm_out = nn.GroupNorm(32, 32, eps=1e-5)
+        self.conv_out = nn.Conv2d(32, 4, 3, padding=1)
+
+    forward = TinyTorchXLUNet.forward
