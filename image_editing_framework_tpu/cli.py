@@ -40,6 +40,7 @@ def common_parser(
     default_target: str = "a whie horse in the field",
     real: bool = True,
     default_inversion: str = "null-text",
+    method: Optional[str] = None,
 ) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(name)
     p.add_argument("--sd_version", type=str, default="1.5")
@@ -50,7 +51,39 @@ def common_parser(
     if real:
         p.add_argument("--source_image", type=str, default="./test.jpg")
         p.add_argument("--inversion_type", type=str, default=default_inversion)
+    if method == "masactrl":
+        # the reference controller's optional knobs
+        # (masactrl/model/attention_control.py:16, sd_utils.py:73-77)
+        p.add_argument("--neg_prompt", type=str, default="")
+        p.add_argument("--step_idx", type=str, default=None,
+                       help="comma-separated explicit step list (overrides start_step)")
+        p.add_argument("--layer_idx", type=str, default=None,
+                       help="comma-separated explicit layer list (overrides start_layer)")
     return p
+
+
+def _int_list(spec: Optional[str]):
+    if spec is None or spec == "":
+        return None
+    return tuple(int(x) for x in spec.split(",") if x.strip() != "")
+
+
+def _masactrl_cli_kwargs(args, pipe, method_kwargs: Optional[dict]) -> dict:
+    """Merge the masactrl-only CLI flags into method_kwargs."""
+    kw = dict(method_kwargs or {})
+    if getattr(args, "neg_prompt", ""):
+        kw.setdefault("neg_prompt", args.neg_prompt)
+    step_idx = _int_list(getattr(args, "step_idx", None))
+    layer_idx = _int_list(getattr(args, "layer_idx", None))
+    if step_idx is not None or layer_idx is not None:
+        base = kw.get("config")
+        if base is None:
+            start_layer = 54 if pipe.model_type == "xl" else 10
+            base = cfgs.MasaCtrlConfig(start_step=4, start_layer=start_layer)
+        import dataclasses as _dc
+
+        kw["config"] = _dc.replace(base, step_idx=step_idx, layer_idx=layer_idx)
+    return kw
 
 
 def load_pipe(sd_version: str, dtype=jnp.bfloat16):
@@ -143,8 +176,11 @@ def edit_real_main(method: str, argv=None, method_kwargs: Optional[dict] = None,
         f"{method} edit_real", real=True,
         default_inversion=default_inversion,
         default_source=default_source, default_target=default_target,
+        method=method,
     ).parse_args(argv)
     pipe = load_pipe(args.sd_version)
+    if method == "masactrl":
+        method_kwargs = _masactrl_cli_kwargs(args, pipe, method_kwargs)
     res = resolution_for(pipe)
     sampler = SamplerConfig(height=res, width=res, seed=args.seed)
     out_path = "./exp"
@@ -170,8 +206,11 @@ def edit_syn_main(method: str, argv=None, method_kwargs: Optional[dict] = None,
     args = common_parser(
         f"{method} edit_syn", real=False, default_seed=default_seed,
         default_source=default_source, default_target=default_target,
+        method=method,
     ).parse_args(argv)
     pipe = load_pipe(args.sd_version)
+    if method == "masactrl":
+        method_kwargs = _masactrl_cli_kwargs(args, pipe, method_kwargs)
     res = resolution_for(pipe)
     sampler = SamplerConfig(height=res, width=res, seed=args.seed)
     out_path = "./exp"

@@ -51,11 +51,18 @@ class P2PConfig:
 @dataclasses.dataclass(frozen=True)
 class MasaCtrlConfig:
     """MasaCtrl (reference: masactrl/edit_real.py:48-49; STEP=4, LAYPER=10 for
-    SD, 54 for SDXL per masactrl/edit_real.py:118)."""
+    SD, 54 for SDXL per masactrl/edit_real.py:118).
+
+    ``step_idx``/``layer_idx`` are explicit gating lists (the reference's
+    MutualSelfAttentionControl(step_idx=..., layer_idx=...) option,
+    masactrl/model/attention_control.py:16-29); when set they override the
+    start_step/start_layer ranges."""
 
     start_step: int = 4
     start_layer: int = 10  # 54 for SDXL
     mode: str = "mutual"  # "mutual" | "union"
+    step_idx: Optional[Tuple[int, ...]] = None
+    layer_idx: Optional[Tuple[int, ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)

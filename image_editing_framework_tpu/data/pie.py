@@ -60,7 +60,8 @@ class PIE:
         return self.items[i]
 
     def shard(self, index: int, count: int) -> List[PIEItem]:
-        """Contiguous shard for multi-host sweeps."""
+        """Strided shard (every count-th item) for multi-host sweeps —
+        striding balances per-category cost across shards."""
         return self.items[index::count]
 
 

@@ -7,13 +7,12 @@ require:
 
 * structure metrics (MSE / PSNR / SSIM) — pure jnp, always available;
 * CLIP score (image-text alignment) — needs a CLIP vision tower checkpoint;
-* LPIPS — needs pretrained VGG/AlexNet features; offline environments
-  without those weights get a clear error, not a silent fallback.
+* LPIPS — implemented in eval/lpips.py (VGG16 features with torchvision
+  -format weight conversion).
 """
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -130,11 +129,5 @@ class CLIPScore:
         return float(jnp.mean(100.0 * jnp.maximum(cos, 0.0)))
 
 
-class LPIPS:
-    """Learned perceptual similarity; needs pretrained feature weights."""
-
-    def __init__(self, checkpoint_path: Optional[str] = None):
-        raise NotImplementedError(
-            "LPIPS requires pretrained VGG/AlexNet features; unavailable "
-            "offline. Planned: torchvision-format weight conversion."
-        )
+# LPIPS lives in eval/lpips.py (VGG16 feature network + torchvision-format
+# weight conversion).

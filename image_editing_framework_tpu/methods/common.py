@@ -8,10 +8,14 @@ import jax.numpy as jnp
 
 
 def prepare_conditioning(
-    pipe, prompts: Sequence[str], height: int, width: int
+    pipe, prompts: Sequence[str], height: int, width: int,
+    negative_prompt: str = "",
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
-    """Encode prompts and assemble the (2P, ...) added conditions for XL."""
-    context, added = pipe.encode_prompts(prompts)
+    """Encode prompts and assemble the (2P, ...) added conditions for XL.
+
+    ``negative_prompt`` replaces the empty unconditional (MasaCtrl's
+    neg_prompt option, masactrl/model/sd_utils.py:73-77)."""
+    context, added = pipe.encode_prompts(prompts, negative_prompt)
     added_cond = None
     if pipe.model_type == "xl":
         b = context.shape[0]

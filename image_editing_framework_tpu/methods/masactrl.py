@@ -44,6 +44,7 @@ def masactrl_edit(
     thres: float = 0.1,
     ref_token_idx=(1,),
     cur_token_idx=(1,),
+    neg_prompt: str = "",
     use_flash: bool = True,
 ) -> np.ndarray:
     p = len(prompts)
@@ -54,7 +55,7 @@ def masactrl_edit(
         ref_token_idx=tuple(ref_token_idx), cur_token_idx=tuple(cur_token_idx),
     )
     context, added_cond = common.prepare_conditioning(
-        pipe, prompts, sampler.height, sampler.width
+        pipe, prompts, sampler.height, sampler.width, negative_prompt=neg_prompt
     )
     if direction_scale is not None:
         v = pca_direction(context[p:]).astype(context.dtype)

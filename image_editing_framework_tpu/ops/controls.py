@@ -457,9 +457,14 @@ def build_masactrl_control(
     ref_token_idx: Tuple[int, ...] = (1,),
     cur_token_idx: Tuple[int, ...] = (1,),
 ) -> MasaCtrlControl:
-    steps = np.zeros(num_steps, dtype=bool)
-    steps[cfg.start_step :] = True
-    layers = tuple(range(cfg.start_layer, num_layers))
+    from image_editing_framework_tpu.ops.schedules import masactrl_gate
+
+    gate = masactrl_gate(
+        num_steps, num_layers, cfg.start_step, cfg.start_layer,
+        cfg.step_idx, cfg.layer_idx,
+    )
+    steps = gate.any(axis=1)
+    layers = tuple(int(i) for i in np.nonzero(gate.any(axis=0))[0])
     return MasaCtrlControl(
         step_gate=jnp.asarray(steps),
         layers=layers,

@@ -70,23 +70,34 @@ class SDPipeline:
         return jnp.concatenate([uncond, cond], axis=0)
 
     def encode_prompts_xl(
-        self, prompts: Sequence[str]
+        self, prompts: Sequence[str], negative_prompt: str = ""
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """SDXL dual-encoder: returns (context (2P,77,2048), pooled (2P,1280)).
 
         Mirrors diffusers encode_prompt with force_zeros_for_empty_prompt:
-        the unconditional context/pooled are zeros
-        (used via p2p/model/sd_utils.py:189-222).
+        the unconditional context/pooled are zeros for an empty negative
+        prompt (used via p2p/model/sd_utils.py:189-222) and the encoded
+        negative prompt otherwise.
         """
         p = len(prompts)
-        ids1 = self._token_ids(prompts)
-        ids2 = self._token_ids(prompts, self.tokenizer_2 or self.tokenizer)
-        out1 = self.text_encoder.apply(self.text_params, ids1)
-        out2 = self.text_encoder_2.apply(self.text_params_2, ids2)
-        cond = jnp.concatenate([out1["penultimate"], out2["penultimate"]], axis=-1)
-        pooled = out2["pooled"]
-        context = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
-        pooled = jnp.concatenate([jnp.zeros_like(pooled), pooled], axis=0)
+
+        def encode(texts):
+            ids1 = self._token_ids(texts)
+            ids2 = self._token_ids(texts, self.tokenizer_2 or self.tokenizer)
+            out1 = self.text_encoder.apply(self.text_params, ids1)
+            out2 = self.text_encoder_2.apply(self.text_params_2, ids2)
+            ctx = jnp.concatenate(
+                [out1["penultimate"], out2["penultimate"]], axis=-1
+            )
+            return ctx, out2["pooled"]
+
+        cond, pooled = encode(list(prompts))
+        if negative_prompt:
+            uncond, upooled = encode([negative_prompt] * p)
+        else:
+            uncond, upooled = jnp.zeros_like(cond), jnp.zeros_like(pooled)
+        context = jnp.concatenate([uncond, cond], axis=0)
+        pooled = jnp.concatenate([upooled, pooled], axis=0)
         return context, pooled
 
     def encode_prompts_refiner(
@@ -108,15 +119,21 @@ class SDPipeline:
         pooled = jnp.concatenate([pooled[p:], pooled[:p]], axis=0)
         return context, pooled
 
-    def encode_prompts(self, prompts: Sequence[str]):
-        """Returns (context, added_cond or None) for self.model_type."""
+    def encode_prompts(self, prompts: Sequence[str], negative_prompt: str = ""):
+        """Returns (context, added_cond or None) for self.model_type.
+
+        ``negative_prompt`` replaces the empty-string unconditional (the
+        reference's MasaCtrl ``neg_prompt`` option,
+        masactrl/model/sd_utils.py:73-77)."""
         if self.model_type == "xl":
             if self.is_refiner:
-                context, pooled = self.encode_prompts_refiner(prompts)
+                context, pooled = self.encode_prompts_refiner(
+                    prompts, negative_prompt
+                )
             else:
-                context, pooled = self.encode_prompts_xl(prompts)
+                context, pooled = self.encode_prompts_xl(prompts, negative_prompt)
             return context, {"text_embeds": pooled}
-        return self.encode_prompts_sd(prompts), None
+        return self.encode_prompts_sd(prompts, negative_prompt), None
 
     def add_time_ids(
         self, height: int, width: int, batch: int, aesthetic_score: float = 6.0

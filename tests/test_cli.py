@@ -57,6 +57,27 @@ def test_edit_real_cli_direct_inversion(tiny_env):
     assert os.path.exists("exp/edit.png")
 
 
+def test_edit_syn_cli_masactrl_flags(tiny_env):
+    """neg_prompt + explicit step_idx/layer_idx lists reach the editor from
+    the CLI (reference: masactrl/model/attention_control.py:16,
+    masactrl/model/sd_utils.py:73-77)."""
+    cli.edit_syn_main(
+        "masactrl",
+        argv=["--source_prompt", "a cat", "--target_prompt", "a standing cat",
+              "--neg_prompt", "ugly, blurry",
+              "--step_idx", "1,3", "--layer_idx", "0,1"],
+    )
+    assert os.path.exists("exp/edit.png")
+
+
+def test_neg_prompt_changes_uncond_only(tiny_env):
+    pipe, _ = tiny_env
+    ctx_plain, _ = pipe.encode_prompts(["a cat"])
+    ctx_neg, _ = pipe.encode_prompts(["a cat"], "ugly")
+    assert float(np.abs(np.asarray(ctx_plain[0] - ctx_neg[0])).max()) > 0
+    np.testing.assert_allclose(np.asarray(ctx_plain[1]), np.asarray(ctx_neg[1]))
+
+
 def test_run_method_p2z(tiny_env):
     pipe, _ = tiny_env
     import jax

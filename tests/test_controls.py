@@ -32,6 +32,25 @@ def rand_qkv(key, b, h, n, d):
     return tuple(jax.random.normal(k, (b, h, n, d), jnp.float32) for k in ks)
 
 
+def test_masactrl_explicit_idx_lists():
+    """step_idx/layer_idx lists override the start ranges (reference:
+    MutualSelfAttentionControl(step_idx=..., layer_idx=...),
+    masactrl/model/attention_control.py:16-29)."""
+    ctrl = controls.build_masactrl_control(
+        8, 4, MasaCtrlConfig(step_idx=(1, 3), layer_idx=(0, 2))
+    )
+    assert ctrl.layers == (0, 2)
+    np.testing.assert_array_equal(
+        np.asarray(ctrl.step_gate),
+        [False, True, False, True, False, False, False, False],
+    )
+    # defaults unchanged: contiguous ranges from start_step/start_layer
+    ctrl = controls.build_masactrl_control(8, 4, MasaCtrlConfig(start_step=2, start_layer=1))
+    assert ctrl.layers == (1, 2, 3)
+    assert not np.asarray(ctrl.step_gate)[:2].any()
+    assert np.asarray(ctrl.step_gate)[2:].all()
+
+
 def test_masactrl_mutual_plan():
     """Gated: every element of each CFG half attends to the half's source K/V
     (masactrl/model/attention_control.py:59-66)."""
