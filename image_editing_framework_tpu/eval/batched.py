@@ -36,20 +36,27 @@ def _batched_invert(unet, params, sched, latents, conds, added, use_flash):
     return jax.vmap(one)(latents, conds)  # (last (G,1,...), traj (G,S+1,1,...))
 
 
-@functools.partial(jax.jit, static_argnames=("unet", "use_flash", "has_nti"))
+@functools.partial(
+    jax.jit, static_argnames=("unet", "use_flash", "has_nti", "ctrl_stacked")
+)
 def _batched_edit(
     unet, params, sched, latents, contexts, ctrls, guidance, uncond_seqs,
-    use_flash, has_nti,
+    use_flash, has_nti, ctrl_stacked=True,
 ):
+    """ctrl_stacked: True when controls differ per image (P2P mappers/alphas);
+    False broadcasts ONE control to the whole group (MasaCtrl / PnP gates are
+    prompt-independent)."""
+
     def one(lat, ctx, c, useq):
         return _denoise_scan(
             unet, params, sched, lat, ctx, c, guidance, None, useq,
             LocalBlend(jnp.zeros((1, 77))), None, use_flash, False, False, None,
         )[0]
 
-    if has_nti:
-        return jax.vmap(one)(latents, contexts, ctrls, uncond_seqs)
-    return jax.vmap(one, in_axes=(0, 0, 0, None))(latents, contexts, ctrls, None)
+    axes = (0, 0, 0 if ctrl_stacked else None, 0 if has_nti else None)
+    return jax.vmap(one, in_axes=axes)(
+        latents, contexts, ctrls, uncond_seqs if has_nti else None
+    )
 
 
 def p2p_edit_batch(
@@ -82,6 +89,135 @@ def p2p_edit_batch(
         uncond_seqs is not None,
     )
     imgs = pipe.latent2image(final.reshape((g * 2,) + final.shape[2:]))
+    return imgs.reshape((g, 2) + imgs.shape[1:])
+
+
+def masactrl_edit_batch(
+    pipe,
+    prompt_pairs: Sequence[Sequence[str]],
+    latents: jnp.ndarray,  # (G, 1, h, w, 4)
+    cfg=None,
+    guidance_scale: float = 7.5,
+    uncond_seqs: Optional[jnp.ndarray] = None,
+    use_flash: bool = True,
+):
+    """Edit G images with MasaCtrl in one program. The mutual-attention gate
+    is prompt-independent (a (steps, layers) table), so ONE control broadcasts
+    to the group. Returns (G, 2, H, W, 3) uint8 [reconstruction, edit]."""
+    from image_editing_framework_tpu.core.config import MasaCtrlConfig
+
+    g = len(prompt_pairs)
+    s = pipe.scheduler.num_steps
+    if cfg is None:
+        start_layer = 54 if pipe.model_type == "xl" else 10
+        cfg = MasaCtrlConfig(start_step=4, start_layer=start_layer)
+    ctrl = ctl.build_masactrl_control(
+        s, pipe.unet.config.num_transformer_blocks, cfg
+    )
+    contexts = jnp.stack(
+        [pipe.encode_prompts_sd(list(pair)) for pair in prompt_pairs]
+    )
+    lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
+    final = _batched_edit(
+        pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrl,
+        jnp.asarray(guidance_scale, latents.dtype), uncond_seqs, use_flash,
+        uncond_seqs is not None, ctrl_stacked=False,
+    )
+    imgs = pipe.latent2image(final.reshape((g * 2,) + final.shape[2:]))
+    return imgs.reshape((g, 2) + imgs.shape[1:])
+
+
+def pnp_edit_batch(
+    pipe,
+    prompt_pairs: Sequence[Sequence[str]],
+    latents: jnp.ndarray,  # (G, 1, h, w, 4)
+    cfg=None,
+    guidance_scale: float = 7.5,
+    uncond_seqs: Optional[jnp.ndarray] = None,
+    use_flash: bool = True,
+):
+    """Edit G images with Plug-and-Play in one program (the injection gates
+    are pure step tables — one control broadcasts)."""
+    from image_editing_framework_tpu.core.config import PnPConfig
+    from image_editing_framework_tpu.models import configs as model_configs
+
+    g = len(prompt_pairs)
+    s = pipe.scheduler.num_steps
+    cfg = cfg or PnPConfig()
+    if pipe.model_type == "xl":
+        attn_layers, conv_keys = model_configs.pnp_sites_xl(pipe.unet.config)
+    else:
+        attn_layers, conv_keys = model_configs.pnp_sites_sd(pipe.unet.config)
+    ctrl = ctl.build_pnp_control(s, cfg, attn_layers, conv_keys)
+    contexts = jnp.stack(
+        [pipe.encode_prompts_sd(list(pair)) for pair in prompt_pairs]
+    )
+    lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
+    final = _batched_edit(
+        pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrl,
+        jnp.asarray(guidance_scale, latents.dtype), uncond_seqs, use_flash,
+        uncond_seqs is not None, ctrl_stacked=False,
+    )
+    imgs = pipe.latent2image(final.reshape((g * 2,) + final.shape[2:]))
+    return imgs.reshape((g, 2) + imgs.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("unet", "use_flash", "has_nti"))
+def _batched_p2z(
+    unet, params, sched, latents, ctx_srcs, ctx_tgts, guidance, amount,
+    uncond_seqs, use_flash, has_nti,
+):
+    from image_editing_framework_tpu.methods.p2z import _guided_scan
+    from image_editing_framework_tpu.ops.controls import P2ZControl
+
+    def one(lat, ctx_s, ctx_t, useq):
+        final_src, refs = _denoise_scan(
+            unet, params, sched, lat, ctx_s, P2ZControl(), guidance, None,
+            useq, LocalBlend(jnp.zeros((1, 77))), None, use_flash, True,
+            False, None,
+        )
+        final_tgt = _guided_scan(
+            unet, params, sched, lat, ctx_t, refs, guidance, amount, None,
+            useq, use_flash,
+        )
+        return final_src, final_tgt
+
+    axes = (0, 0, 0, 0 if has_nti else None)
+    return jax.vmap(one, in_axes=axes)(
+        latents, ctx_srcs, ctx_tgts, uncond_seqs if has_nti else None
+    )
+
+
+def p2z_edit_batch(
+    pipe,
+    prompt_pairs: Sequence[Sequence[str]],
+    latents: jnp.ndarray,  # (G, 1, h, w, 4)
+    cfg=None,
+    guidance_scale: float = 7.5,
+    uncond_seqs: Optional[jnp.ndarray] = None,
+    use_flash: bool = True,
+):
+    """pix2pix-zero for G images in one program: both passes vmapped, each
+    image's recorded cross-attention refs threaded to its own guided pass.
+    Returns (G, 2, H, W, 3) uint8 [reconstruction, edit]."""
+    from image_editing_framework_tpu.core.config import P2ZConfig
+
+    g = len(prompt_pairs)
+    cfg = cfg or P2ZConfig()
+    ctx_srcs = jnp.stack(
+        [pipe.encode_prompts_sd([pair[0]]) for pair in prompt_pairs]
+    )  # (G, 2, 77, D)
+    ctx_tgts = jnp.stack(
+        [pipe.encode_prompts_sd([pair[1]]) for pair in prompt_pairs]
+    )
+    final_src, final_tgt = _batched_p2z(
+        pipe.unet, pipe.unet_params, pipe.scheduler, latents, ctx_srcs,
+        ctx_tgts, jnp.asarray(guidance_scale, latents.dtype),
+        jnp.asarray(cfg.guidance_amount, latents.dtype), uncond_seqs,
+        use_flash, uncond_seqs is not None,
+    )
+    both = jnp.concatenate([final_src, final_tgt], axis=1)  # (G, 2, h, w, 4)
+    imgs = pipe.latent2image(both.reshape((g * 2,) + both.shape[2:]))
     return imgs.reshape((g, 2) + imgs.shape[1:])
 
 

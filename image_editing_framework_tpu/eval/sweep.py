@@ -55,17 +55,18 @@ def run_sweep(
     save_inversions: Optional[str] = None,
     inversion_path: Optional[str] = None,
 ) -> dict:
-    """``batch_size`` > 1 (p2p + ddim inversion only) edits image groups as
-    one vmapped program — the throughput mode the reference's hook design
-    precludes. ``save_inversions`` writes the per-image inversion artifacts
-    the reference's PIE_NTI_Inversion dataset consumes (the producer it
-    lacks, p2p/dataset/pie.py:44-51); ``inversion_path`` consumes them,
-    skipping the inversion phase entirely (the reference's
-    PIE_NTI_Inversion path, p2p/dataset/pie.py:25-51)."""
-    if batch_size > 1 and (
-        method != "p2p" or inversion_type not in ("ddim", "null-text")
-    ):
-        raise ValueError("batched sweep currently supports p2p + ddim/null-text")
+    """``batch_size`` > 1 edits image groups as one vmapped program (all four
+    methods; ddim or null-text inversion) — the throughput mode the
+    reference's hook design precludes, and the recovery for batch-1
+    inversion's MXU underutilization (BASELINE.md phase table).
+    ``save_inversions`` writes the per-image inversion artifacts the
+    reference's PIE_NTI_Inversion dataset consumes (the producer it lacks,
+    p2p/dataset/pie.py:44-51); ``inversion_path`` consumes them, skipping the
+    inversion phase entirely (the reference's PIE_NTI_Inversion path,
+    p2p/dataset/pie.py:25-51). Host-side PNG decode/encode runs on a worker
+    pool (the reference's DataLoader num_workers=8, p2p/test.py:116)."""
+    if batch_size > 1 and inversion_type not in ("ddim", "null-text"):
+        raise ValueError("batched sweep supports ddim/null-text inversion")
 
     from image_editing_framework_tpu.cli import invert, run_method
 
@@ -89,10 +90,21 @@ def run_sweep(
     os.makedirs(exp_path, exist_ok=True)
     event_log = os.path.join(exp_path, f"events_{method}_{shard_index}.jsonl")
 
+    # Host-parallel image IO: PNG decode (prefetch) and encode (fire-and-
+    # forget saves) run off the hot loop — the reference's DataLoader
+    # num_workers=8 equivalent (p2p/test.py:116).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=8)
+    save_futures = []
+
+    def save_async(img, path):
+        save_futures.append(pool.submit(save_img, img, path))
+
     def finish(item, inv_img, edit_img, elapsed):
         out_dir = os.path.join(exp_path, item.key)
-        save_img(inv_img, os.path.join(out_dir, "inversion.png"))
-        save_img(edit_img, os.path.join(out_dir, "edit.png"))
+        save_async(inv_img, os.path.join(out_dir, "inversion.png"))
+        save_async(edit_img, os.path.join(out_dir, "edit.png"))
         times.append(elapsed)
         # per-image observability trail (SURVEY.md §5: the reference has none)
         with open(event_log, "a") as f:
@@ -106,23 +118,34 @@ def run_sweep(
         import jax.numpy as jnp
 
         from image_editing_framework_tpu.data.pie import save_inversion
-        from image_editing_framework_tpu.eval.batched import (
-            ddim_invert_batch,
-            p2p_edit_batch,
-        )
+        from image_editing_framework_tpu.eval import batched
 
-        for g0 in range(0, len(pending), batch_size):
-            group = pending[g0 : g0 + batch_size]
+        groups = [
+            pending[g0 : g0 + batch_size]
+            for g0 in range(0, len(pending), batch_size)
+        ]
+
+        def load_group(group):
+            return [load_image(it.image_path, res, res) for it in group]
+
+        # prefetch the next group's PNG decodes while the device computes
+        load_future = pool.submit(load_group, groups[0]) if groups else None
+        for gi_, group in enumerate(groups):
             t0 = time.perf_counter()
+            images = load_future.result()
+            load_future = (
+                pool.submit(load_group, groups[gi_ + 1])
+                if gi_ + 1 < len(groups)
+                else None
+            )
             lats = []
-            for item in group:
+            for item, image in zip(group, images):
                 os.makedirs(os.path.join(exp_path, item.key), exist_ok=True)
-                image = load_image(item.image_path, res, res)
-                save_img(image, os.path.join(exp_path, item.key, "source.png"))
+                save_async(image, os.path.join(exp_path, item.key, "source.png"))
                 lats.append(pipe.image2latent(image))
             lats = jnp.stack(lats)  # (G, 1, h, w, 4)
             src_prompts = [it.source_prompt for it in group]
-            inverted, trajs = ddim_invert_batch(
+            inverted, trajs = batched.ddim_invert_batch(
                 pipe, lats, src_prompts, return_trajectory=True
             )
             uncond_seqs = None
@@ -131,9 +154,8 @@ def run_sweep(
                     GUIDANCE_SCALE,
                     nti_config_for,
                 )
-                from image_editing_framework_tpu.eval.batched import nti_batch
 
-                uncond_seqs = nti_batch(
+                uncond_seqs = batched.nti_batch(
                     pipe, trajs, src_prompts, nti_config_for(method, pipe),
                     guidance_scale=GUIDANCE_SCALE,
                 )
@@ -144,16 +166,34 @@ def run_sweep(
                         None if uncond_seqs is None else uncond_seqs[gi],
                     )
             pairs = [[it.source_prompt, it.target_prompt] for it in group]
-            cfgs = [
-                (method_kwargs or {}).get(
-                    "config", _auto_p2p_config(it.source_prompt, it.target_prompt)
+            mk_cfg = (method_kwargs or {}).get("config")
+            if method == "p2p":
+                cfgs = [
+                    mk_cfg
+                    or _auto_p2p_config(it.source_prompt, it.target_prompt)
+                    for it in group
+                ]
+                imgs = batched.p2p_edit_batch(
+                    pipe, pairs, inverted, cfgs, sampler.guidance_scale,
+                    uncond_seqs=uncond_seqs,
                 )
-                for it in group
-            ]
-            imgs = p2p_edit_batch(
-                pipe, pairs, inverted, cfgs, sampler.guidance_scale,
-                uncond_seqs=uncond_seqs,
-            )
+            elif method == "masactrl":
+                imgs = batched.masactrl_edit_batch(
+                    pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
+                    uncond_seqs=uncond_seqs,
+                )
+            elif method == "pnp":
+                imgs = batched.pnp_edit_batch(
+                    pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
+                    uncond_seqs=uncond_seqs,
+                )
+            elif method == "p2z":
+                imgs = batched.p2z_edit_batch(
+                    pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
+                    uncond_seqs=uncond_seqs,
+                )
+            else:
+                raise ValueError(f"unknown method {method}")
             tg = (time.perf_counter() - t0) / len(group)
             for item, pair_imgs in zip(group, imgs):
                 finish(item, pair_imgs[0], pair_imgs[1], tg)
@@ -165,12 +205,22 @@ def run_sweep(
 
             cache = PIEPrecomputedInversion(dataset_path, inversion_path)
             by_key = {it.key: it for it in cache.items}
-        for item in pending:
+        load_future = (
+            pool.submit(load_image, pending[0].image_path, res, res)
+            if pending
+            else None
+        )
+        for idx_, item in enumerate(pending):
             out_dir = os.path.join(exp_path, item.key)
             os.makedirs(out_dir, exist_ok=True)
             t0 = time.perf_counter()
-            image = load_image(item.image_path, res, res)
-            save_img(image, os.path.join(out_dir, "source.png"))
+            image = load_future.result()
+            load_future = (
+                pool.submit(load_image, pending[idx_ + 1].image_path, res, res)
+                if idx_ + 1 < len(pending)
+                else None
+            )
+            save_async(image, os.path.join(out_dir, "source.png"))
             if cache is not None:
                 import jax.numpy as jnp
 
@@ -196,6 +246,9 @@ def run_sweep(
             )
             finish(item, inv_img, edit_img, time.perf_counter() - t0)
             done += 1
+    for fut in save_futures:
+        fut.result()  # surface any IO errors before declaring success
+    pool.shutdown()
     wall = time.perf_counter() - t_start
     stats = {
         "method": method,

@@ -140,8 +140,9 @@ class Attention(nn.Module):
     layer: int
     place: str
     dtype: jnp.dtype = jnp.float32
-    cp_mesh: Optional[object] = None  # jax Mesh: ring-attention context parallelism
+    cp_mesh: Optional[object] = None  # jax Mesh: context parallelism
     cp_min_seq: int = 4096
+    cp_mode: str = "ring"  # 'ring' (ppermute KV) | 'ulysses' (all_to_all)
 
     @nn.compact
     def __call__(self, x, context, ctrl, use_flash: bool = True):
@@ -179,7 +180,8 @@ class Attention(nn.Module):
                 plan = ctrl.self_plan(site, x.shape[0])
                 mesh = self.cp_mesh if x.shape[1] >= self.cp_min_seq else None
                 out = self_attention(
-                    q, k, v, plan, use_flash=use_flash, cp_mesh=mesh
+                    q, k, v, plan, use_flash=use_flash, cp_mesh=mesh,
+                    cp_mode=self.cp_mode,
                 )
         out = merge_heads(out).astype(x.dtype)
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
@@ -209,6 +211,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     cp_mesh: Optional[object] = None
     cp_min_seq: int = 4096
+    cp_mode: str = "ring"
 
     @nn.compact
     def __call__(self, x, context, ctrl, use_flash: bool = True):
@@ -216,7 +219,7 @@ class BasicTransformerBlock(nn.Module):
         h, rec = Attention(
             self.dim, self.heads, None, self.layer, self.place,
             dtype=self.dtype, cp_mesh=self.cp_mesh, cp_min_seq=self.cp_min_seq,
-            name="attn1",
+            cp_mode=self.cp_mode, name="attn1",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), None, ctrl, use_flash)
         records.update(rec)
         x = x + h
@@ -247,6 +250,7 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     cp_mesh: Optional[object] = None
     cp_min_seq: int = 4096
+    cp_mode: str = "ring"
     remat: bool = False
 
     @nn.compact
@@ -270,7 +274,8 @@ class Transformer2D(nn.Module):
             h, rec = block_cls(
                 self.channels, self.heads, self.cross_dim, layer, self.place,
                 dtype=self.dtype, cp_mesh=self.cp_mesh,
-                cp_min_seq=self.cp_min_seq, name=f"block_{i}",
+                cp_min_seq=self.cp_min_seq, cp_mode=self.cp_mode,
+                name=f"block_{i}",
             )(h, context, ctrl, use_flash)
             records.update(rec)
         if self.use_linear_projection:
@@ -334,9 +339,11 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     # Context parallelism: shard self-attention sequences >= cp_min_seq over
-    # this mesh's 'data' axis via ring attention (XL 1024^2 scale-out path).
+    # this mesh's 'data' axis (XL 1024^2 scale-out path). cp_mode: 'ring'
+    # (ppermute KV rotation) or 'ulysses' (all_to_all head<->sequence).
     cp_mesh: Optional[object] = None
     cp_min_seq: int = 4096
+    cp_mode: str = "ring"
     # Rematerialize transformer blocks during backward (NTI / pix2pix-zero /
     # training gradients at XL scale trade ~30% FLOPs for O(depth) memory).
     remat: bool = False
@@ -399,7 +406,8 @@ class UNet2DCondition(nn.Module):
                         tuple(down_layout[i][j]), "down",
                         use_linear_projection=cfg.use_linear_projection,
                         dtype=self.dtype, cp_mesh=self.cp_mesh, remat=self.remat,
-                        cp_min_seq=self.cp_min_seq, name=f"down_{i}_attn_{j}",
+                        cp_min_seq=self.cp_min_seq, cp_mode=self.cp_mode,
+                        name=f"down_{i}_attn_{j}",
                     )(x, context, ctrl, use_flash)
                     records.update(rec)
                 skips.append(x)
@@ -417,7 +425,7 @@ class UNet2DCondition(nn.Module):
             tuple(mid_layout), "mid",
             use_linear_projection=cfg.use_linear_projection,
             dtype=self.dtype, cp_mesh=self.cp_mesh, remat=self.remat,
-            cp_min_seq=self.cp_min_seq, name="mid_attn",
+            cp_min_seq=self.cp_min_seq, cp_mode=self.cp_mode, name="mid_attn",
         )(x, context, ctrl, use_flash)
         records.update(rec)
         x = ResnetBlock(mid_ch, key="mid_res1", dtype=self.dtype, name="mid_resnet_1")(
@@ -442,7 +450,8 @@ class UNet2DCondition(nn.Module):
                         cfg.cross_attention_dim, tuple(up_layout[i][j]), "up",
                         use_linear_projection=cfg.use_linear_projection,
                         dtype=self.dtype, cp_mesh=self.cp_mesh, remat=self.remat,
-                        cp_min_seq=self.cp_min_seq, name=f"up_{i}_attn_{j}",
+                        cp_min_seq=self.cp_min_seq, cp_mode=self.cp_mode,
+                        name=f"up_{i}_attn_{j}",
                     )(x, context, ctrl, use_flash)
                     records.update(rec)
             if not is_last:

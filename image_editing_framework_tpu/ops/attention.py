@@ -95,14 +95,17 @@ def self_attention(
     use_flash: bool = True,
     cp_mesh=None,
     cp_axis: str = "data",
+    cp_mode: str = "ring",
 ) -> jnp.ndarray:
     """Fused self-attention with optional batch-index remapping.
 
     q/k/v: (B, H, N, D). plan=None means no edit (skips the gathers).
-    ``cp_mesh`` switches to ring attention with the sequence sharded over
-    ``cp_axis`` (context parallelism for XL-scale token counts); editing
-    remaps compose with it (gathers run before the ring), only the
-    multi-segment bias path falls back to single-device flash.
+    ``cp_mesh`` switches to context-parallel attention with the sequence
+    sharded over ``cp_axis`` — ``cp_mode`` picks ring (ppermute KV rotation)
+    or Ulysses (all_to_all head<->sequence reshard). Editing remaps compose
+    with it (gathers run before the CP collective), including the
+    multi-segment bias path (MasaCtrl union): the per-key bias shards and
+    rotates with K/V. ``use_flash`` selects the Pallas local step inside CP.
     """
     b, h, n, d = q.shape
     bias = None
@@ -116,12 +119,16 @@ def self_attention(
         if s > 1:
             seg = jnp.where(plan.valid, 0.0, NEG_INF).astype(jnp.float32)  # (B,S)
             bias = jnp.repeat(seg, n, axis=1)  # (B, S*N)
-    if cp_mesh is not None and bias is None:
+    if cp_mesh is not None:
         from image_editing_framework_tpu.parallel.ring_attention import (
             ring_self_attention,
+            ulysses_self_attention,
         )
 
-        return ring_self_attention(q, k, v, cp_mesh, cp_axis)
+        cp_fn = (
+            ulysses_self_attention if cp_mode == "ulysses" else ring_self_attention
+        )
+        return cp_fn(q, k, v, cp_mesh, cp_axis, bias=bias, use_flash=use_flash)
     if use_flash:
         return flash_attention(q, k, v, bias)
     # Explicit XLA path (oracle / CPU).

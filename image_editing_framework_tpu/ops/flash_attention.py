@@ -391,15 +391,83 @@ def flash_attention(
     Returns:
       (B, H, Nq, D) in q.dtype.
     """
+    sm_scale, block_q, block_k = _defaults(q, k, sm_scale, block_q, block_k)
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+    return _flash(q, k, v, bias, sm_scale, block_q, block_k)
+
+
+def _defaults(q, k, sm_scale, block_q, block_k):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     if block_q is None:
         block_q = 2048 if q.shape[2] >= 4096 else 256
     if block_k is None:
         block_k = 1024 if k.shape[2] >= 4096 else 512
+    return sm_scale, block_q, block_k
+
+
+def flash_attention_fwd_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    sm_scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+):
+    """Kernel forward returning (out, lse) — the building block for ring
+    context parallelism (the per-chip partial results merge with the
+    two-estimate log-sum-exp combine). NOT differentiable on its own; the
+    ring wraps it in its own custom VJP (parallel/ring_attention.py).
+
+    Returns out (B, H, Nq, D) and lse (B, H, Nq) float32.
+    """
+    sm_scale, block_q, block_k = _defaults(q, k, sm_scale, block_q, block_k)
     if bias is None:
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
-    return _flash(q, k, v, bias, sm_scale, block_q, block_k)
+    qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
+        q, k, v, bias, block_q, block_k
+    )
+    out, lse = _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, nk)
+    return out.reshape(b, h, nq, dp)[..., :d], lse.reshape(b, h, nq)
+
+
+def flash_attention_bwd_block(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    out: jnp.ndarray,
+    g: jnp.ndarray,
+    lse: jnp.ndarray,
+    sm_scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+):
+    """Kernel backward against ONE KV block, given the *global* softmax
+    statistics: ``out`` is the final (fully merged) attention output, ``g``
+    its cotangent, ``lse`` the global log-sum-exp (B, H, Nq). With global
+    lse, exp(s - lse) is each key's true global probability, so summing this
+    block-wise backward over all KV blocks reproduces the exact full-sequence
+    gradient (the ring-attention backward recipe).
+
+    Returns (dq, dk, dv) for this block.
+    """
+    sm_scale, block_q, block_k = _defaults(q, k, sm_scale, block_q, block_k)
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+    qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
+        q, k, v, bias, block_q, block_k
+    )
+    of = (_pad_to(out, 3, dp) if dp != d else out).reshape(b * h, nq, dp)
+    do_f = (_pad_to(g, 3, dp) if dp != d else g).reshape(b * h, nq, dp).astype(qf.dtype)
+    lse_f = lse.reshape(b * h, 1, nq).astype(jnp.float32)
+    dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse_f, sm_scale, bq, bk, nk)
+    dq = dq.reshape(b, h, nq, dp)[..., :d]
+    dk = dk.reshape(b, h, -1, dp)[:, :, :nk, :d]
+    dv = dv.reshape(b, h, -1, dp)[:, :, :nk, :d]
+    return dq, dk, dv
 
 
 def reference_attention(q, k, v, sm_scale=None):

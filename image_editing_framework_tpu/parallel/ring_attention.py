@@ -1,4 +1,4 @@
-"""Context parallelism: ring attention over latent tokens.
+"""Context parallelism: ring / Ulysses attention over latent tokens.
 
 The reference materializes full O(N^2) attention on one GPU, topping out at
 SDXL's 16384-token self-attention (masactrl/model/register.py:35;
@@ -6,12 +6,28 @@ SURVEY.md §5 long-context note). For multi-chip scale-out this module shards
 the *sequence* dimension across a mesh axis: each chip holds an N/n_dev slice
 of Q/K/V, K/V blocks rotate around the ring via ``jax.lax.ppermute`` while
 each chip accumulates blockwise-softmax partial results — communication
-overlaps compute, and per-chip memory drops from O(N^2) scores (never
-materialized anyway) and O(N) KV to O(N/n_dev).
+overlaps compute, and per-chip memory drops from O(N) KV to O(N/n_dev).
+
+Two local-step implementations:
+
+* **kernel path** (``use_flash=True``): the fused Pallas flash kernel runs
+  each per-chip block (``flash_attention_fwd_lse``), partial results merge
+  with the two-estimate log-sum-exp combine, and a custom VJP implements the
+  exact ring backward — KV blocks rotate again, each block's (dk, dv)
+  accumulator rides along with it and one final rotation delivers it home;
+  per-block gradients use the *global* lse so their sum is the exact
+  full-sequence gradient (``flash_attention_bwd_block``).
+* **XLA path** (``use_flash=False``): explicit blockwise softmax, used on
+  CPU meshes (tests / dryruns) where Pallas only interprets.
+
+Both accept a per-key additive logit bias (B, Nk) sharded like K — this is
+what makes MasaCtrl-union's multi-segment K/V CP-compatible
+(masactrl/model/attention_control.py:102-103): the segment-validity bias
+simply rotates with its K/V block.
 
 Also provides the Ulysses-style alternative: all_to_all resharding
-heads <-> sequence around a fully local attention — cheaper than the ring
-when heads >= chips.
+heads <-> sequence around a fully local attention (the bias is all-gathered —
+O(N) floats) — cheaper than the ring when heads >= chips.
 
 Partial results merge with the standard two-estimate log-sum-exp combine:
     m = max(lse1, lse2); w_i = exp(lse_i - m)
@@ -25,14 +41,21 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from image_editing_framework_tpu.ops.flash_attention import (
+    flash_attention,
+    flash_attention_bwd_block,
+    flash_attention_fwd_lse,
+)
 
-def _attention_with_lse(q, k, v, sm_scale):
-    """Blockwise attention returning (out, lse). XLA path (a Pallas variant
-    plugs in transparently on TPU via flash_attention's lse output)."""
+
+def _attention_with_lse(q, k, v, sm_scale, bias=None):
+    """Blockwise attention returning (out, lse) — explicit XLA local step."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * sm_scale
+    if bias is not None:
+        s = s + bias[:, None, None, :]
     m = jnp.max(s, axis=-1)
     p = jnp.exp(s - m[..., None])
     l = jnp.sum(p, axis=-1)
@@ -53,6 +76,101 @@ def _merge(o1, lse1, o2, lse2):
     return o, m + jnp.log(den)
 
 
+def _make_ring_kernel_local(axis_name: str, n_dev: int, sm_scale: float):
+    """Per-chip ring step with the Pallas kernel + exact ring VJP.
+
+    Returned function takes LOCAL blocks (q, k, v, bias) under shard_map.
+    """
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    # Tile sizes: the lse output buffer lives in scoped VMEM alongside the
+    # usual flash tiles; the single-device default (2048-query tiles at >=4k
+    # tokens) overflows the 16 MB scoped budget here, 1024/1024 fits with
+    # indistinguishable MXU utilization.
+    BQ, BK = 1024, 1024
+
+    def rot(x):
+        return jax.lax.ppermute(x, axis_name, perm)
+
+    def fwd_core(q, k, v, bias):
+        out, lse = flash_attention_fwd_lse(
+            q, k, v, bias, sm_scale, block_q=BQ, block_k=BK
+        )
+
+        def body(_, carry):
+            out, lse, kb, vb, bb = carry
+            kb, vb, bb = rot(kb), rot(vb), rot(bb)
+            o_i, lse_i = flash_attention_fwd_lse(
+                q, kb, vb, bb, sm_scale, block_q=BQ, block_k=BK
+            )
+            out, lse = _merge(out, lse, o_i, lse_i)
+            return out, lse, kb, vb, bb
+
+        out, lse, _, _, _ = jax.lax.fori_loop(
+            0, n_dev - 1, body, (out, lse, k, v, bias)
+        )
+        return out, lse
+
+    @jax.custom_vjp
+    def ring(q, k, v, bias):
+        return fwd_core(q, k, v, bias)[0]
+
+    def ring_fwd(q, k, v, bias):
+        out, lse = fwd_core(q, k, v, bias)
+        return out, (q, k, v, bias, out, lse)
+
+    def ring_bwd(res, g):
+        q, k, v, bias, out, lse = res
+        # Step 0: own block. The (dk, dv) accumulators then rotate together
+        # with their KV block; after the loop one extra rotation returns each
+        # accumulator to its owner chip.
+        dq, dk, dv = flash_attention_bwd_block(
+            q, k, v, bias, out, g, lse, sm_scale, block_q=BQ, block_k=BK
+        )
+
+        def body(_, carry):
+            dq, dk, dv, kb, vb, bb = carry
+            kb, vb, bb = rot(kb), rot(vb), rot(bb)
+            dk, dv = rot(dk), rot(dv)
+            dq_i, dk_i, dv_i = flash_attention_bwd_block(
+                q, kb, vb, bb, out, g, lse, sm_scale, block_q=BQ, block_k=BK
+            )
+            return dq + dq_i, dk + dk_i, dv + dv_i, kb, vb, bb
+
+        dq, dk, dv, _, _, _ = jax.lax.fori_loop(
+            0, n_dev - 1, body, (dq, dk, dv, k, v, bias)
+        )
+        dk, dv = rot(dk), rot(dv)  # deliver the last block's grads home
+        # bias is a mask schedule, not a learned quantity: zero cotangent.
+        return dq, dk, dv, jnp.zeros_like(bias)
+
+    ring.defvjp(ring_fwd, ring_bwd)
+    return ring
+
+
+def _make_ring_xla_local(axis_name: str, n_dev: int, sm_scale: float):
+    """Per-chip ring step with explicit XLA attention (CPU meshes)."""
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def local_fn(q, k, v, bias):
+        out, lse = _attention_with_lse(q, k, v, sm_scale, bias)
+
+        def body(_, carry):
+            out, lse, kb, vb, bb = carry
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+            bb = jax.lax.ppermute(bb, axis_name, perm)
+            o_i, lse_i = _attention_with_lse(q, kb, vb, sm_scale, bb)
+            out, lse = _merge(out, lse, o_i, lse_i)
+            return out, lse, kb, vb, bb
+
+        out, lse, _, _, _ = jax.lax.fori_loop(
+            0, n_dev - 1, body, (out, lse, k, v, bias)
+        )
+        return out
+
+    return local_fn
+
+
 def ring_self_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -60,41 +178,35 @@ def ring_self_attention(
     mesh: Mesh,
     axis_name: str = "data",
     sm_scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
-    """Full self-attention with Q/K/V sequence-sharded over ``axis_name``.
+    """Full self-attention with Q and K/V sequence-sharded over ``axis_name``.
 
-    q/k/v: (B, H, N, D) global shapes; N must divide by the axis size.
-    Returns (B, H, N, D) with the same sequence sharding.
+    q: (B, H, Nq, D), k/v: (B, H, Nk, D) global shapes; Nq and Nk must divide
+    by the axis size (Nk may differ from Nq — MasaCtrl-union concatenates
+    S segments). ``bias``: optional (B, Nk) per-key logit bias sharded with
+    K. ``use_flash`` selects the Pallas-kernel local step (TPU).
+    Returns (B, H, Nq, D) with q's sequence sharding.
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     n_dev = mesh.shape[axis_name]
-    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-
-    def local_fn(q_blk, k_blk, v_blk):
-        out, lse = _attention_with_lse(q_blk, k_blk, v_blk, sm_scale)
-
-        def body(_, carry):
-            out, lse, kb, vb = carry
-            # rotate KV to the next chip, then fold the received block in
-            kb = jax.lax.ppermute(kb, axis_name, perm)
-            vb = jax.lax.ppermute(vb, axis_name, perm)
-            o_i, lse_i = _attention_with_lse(q_blk, kb, vb, sm_scale)
-            out, lse = _merge(out, lse, o_i, lse_i)
-            return out, lse, kb, vb
-
-        out, lse, _, _ = jax.lax.fori_loop(
-            0, n_dev - 1, body, (out, lse, k_blk, v_blk)
-        )
-        return out
-
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+    local = (
+        _make_ring_kernel_local(axis_name, n_dev, sm_scale)
+        if use_flash
+        else _make_ring_xla_local(axis_name, n_dev, sm_scale)
+    )
     spec = P(None, None, axis_name, None)
     return shard_map(
-        local_fn,
+        local,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, P(None, axis_name)),
         out_specs=spec,
-    )(q, k, v)
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )(q, k, v, bias)
 
 
 def ulysses_self_attention(
@@ -104,20 +216,27 @@ def ulysses_self_attention(
     mesh: Mesh,
     axis_name: str = "data",
     sm_scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """All-to-all head<->sequence reshard around a fully local attention.
 
     Inputs arrive sequence-sharded (B, H, N, D); the all_to_all makes each
-    chip hold ALL tokens for H/n_dev heads, attention runs locally with no
-    ring steps, and a second all_to_all restores sequence sharding. Requires
-    H % axis_size == 0.
+    chip hold ALL tokens for H/n_dev heads, attention runs locally (Pallas
+    kernel when ``use_flash``) with no ring steps, and a second all_to_all
+    restores sequence sharding. The per-key bias is all-gathered (O(Nk)
+    floats — negligible). Requires H % axis_size == 0; differentiable for
+    free (all_to_all/all_gather have transpose rules, the kernel has its own
+    VJP).
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     n_dev = mesh.shape[axis_name]
     assert q.shape[1] % n_dev == 0, "Ulysses needs heads % devices == 0"
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
 
-    def local_fn(q_blk, k_blk, v_blk):
+    def local_fn(q_blk, k_blk, v_blk, bias_blk):
         # (B, H, N/n, D) -> (B, H/n, N, D)
         def seq_to_head(x):
             return jax.lax.all_to_all(
@@ -130,13 +249,18 @@ def ulysses_self_attention(
             )
 
         qh, kh, vh = seq_to_head(q_blk), seq_to_head(k_blk), seq_to_head(v_blk)
-        out, _ = _attention_with_lse(qh, kh, vh, sm_scale)
+        bias_full = jax.lax.all_gather(bias_blk, axis_name, axis=1, tiled=True)
+        if use_flash:
+            out = flash_attention(qh, kh, vh, bias_full, sm_scale=sm_scale)
+        else:
+            out, _ = _attention_with_lse(qh, kh, vh, sm_scale, bias_full)
         return head_to_seq(out)
 
     spec = P(None, None, axis_name, None)
     return shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, P(None, axis_name)),
         out_specs=spec,
-    )(q, k, v)
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )(q, k, v, bias)

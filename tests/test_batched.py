@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from image_editing_framework_tpu.core.config import P2PConfig, SamplerConfig
 from image_editing_framework_tpu.eval.batched import (
@@ -16,6 +17,7 @@ from image_editing_framework_tpu.pipelines import tiny_pipeline
 SAMPLER = SamplerConfig(height=32, width=32)
 
 
+@pytest.mark.slow
 def test_batched_p2p_matches_per_image():
     pipe = tiny_pipeline(num_steps=4)
     pairs = [
@@ -35,6 +37,67 @@ def test_batched_p2p_matches_per_image():
         )
 
 
+@pytest.mark.slow
+def test_batched_masactrl_matches_per_image():
+    from image_editing_framework_tpu.core.config import MasaCtrlConfig
+    from image_editing_framework_tpu.eval.batched import masactrl_edit_batch
+    from image_editing_framework_tpu.methods.masactrl import masactrl_edit
+
+    pipe = tiny_pipeline(num_steps=4)
+    cfg = MasaCtrlConfig(start_step=1, start_layer=0)
+    pairs = [["a cat", "a standing cat"], ["a dog", "a running dog"]]
+    lats = jax.random.normal(jax.random.PRNGKey(5), (2, 1, 16, 16, 4))
+    batched = masactrl_edit_batch(pipe, pairs, lats, cfg)
+    assert batched.shape == (2, 2, 32, 32, 3)
+    for i, pair in enumerate(pairs):
+        single = masactrl_edit(pipe, pair, lats[i], cfg, SAMPLER)
+        np.testing.assert_allclose(
+            batched[i].astype(np.int32), single.astype(np.int32), atol=1
+        )
+
+
+@pytest.mark.slow
+def test_batched_pnp_matches_per_image():
+    from image_editing_framework_tpu.core.config import PnPConfig
+    from image_editing_framework_tpu.eval.batched import pnp_edit_batch
+    from image_editing_framework_tpu.methods.pnp import pnp_edit
+
+    pipe = tiny_pipeline(num_steps=4)
+    cfg = PnPConfig(pnp_attn_t=0.5, pnp_f_t=0.8)
+    pairs = [["a cat", "a dog"], ["a horse", "a zebra"]]
+    lats = jax.random.normal(jax.random.PRNGKey(6), (2, 1, 16, 16, 4))
+    batched = pnp_edit_batch(pipe, pairs, lats, cfg)
+    assert batched.shape == (2, 2, 32, 32, 3)
+    for i, pair in enumerate(pairs):
+        single = pnp_edit(pipe, pair, lats[i], cfg, SAMPLER)
+        np.testing.assert_allclose(
+            batched[i].astype(np.int32), single.astype(np.int32), atol=1
+        )
+
+
+@pytest.mark.slow
+def test_batched_p2z_matches_per_image():
+    from image_editing_framework_tpu.core.config import P2ZConfig
+    from image_editing_framework_tpu.eval.batched import p2z_edit_batch
+    from image_editing_framework_tpu.methods.p2z import p2z_edit
+
+    pipe = tiny_pipeline(num_steps=4)
+    cfg = P2ZConfig(guidance_amount=0.05)
+    pairs = [["a cat", "a dog"], ["a horse", "a zebra"]]
+    lats = jax.random.normal(jax.random.PRNGKey(7), (2, 1, 16, 16, 4))
+    batched = p2z_edit_batch(pipe, pairs, lats, cfg)
+    assert batched.shape == (2, 2, 32, 32, 3)
+    for i, pair in enumerate(pairs):
+        rec, edit = p2z_edit(pipe, pair, lats[i], cfg, SAMPLER)
+        np.testing.assert_allclose(
+            batched[i, 0].astype(np.int32), rec[0].astype(np.int32), atol=1
+        )
+        np.testing.assert_allclose(
+            batched[i, 1].astype(np.int32), edit[0].astype(np.int32), atol=1
+        )
+
+
+@pytest.mark.slow
 def test_batched_inversion_matches_per_image():
     pipe = tiny_pipeline(num_steps=4)
     lats = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 16, 4)) * 0.1
@@ -47,6 +110,7 @@ def test_batched_inversion_matches_per_image():
         )
 
 
+@pytest.mark.slow
 def test_batched_nti_matches_per_image():
     from image_editing_framework_tpu.core.config import NTIConfig
     from image_editing_framework_tpu.eval.batched import ddim_invert_batch, nti_batch
@@ -67,6 +131,7 @@ def test_batched_nti_matches_per_image():
         )
 
 
+@pytest.mark.slow
 def test_batched_edit_with_nti_seq():
     from image_editing_framework_tpu.core.config import P2PConfig
 

@@ -78,6 +78,7 @@ def test_neg_prompt_changes_uncond_only(tiny_env):
     np.testing.assert_allclose(np.asarray(ctx_plain[1]), np.asarray(ctx_neg[1]))
 
 
+@pytest.mark.slow
 def test_run_method_p2z(tiny_env):
     pipe, _ = tiny_env
     import jax

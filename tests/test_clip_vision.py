@@ -23,6 +23,7 @@ def test_vision_shapes():
     assert out["image_embeds"].shape == (2, 32)
 
 
+@pytest.mark.slow
 def test_vision_parity_vs_transformers():
     torch = pytest.importorskip("torch")
     from transformers import CLIPVisionConfig as HFConfig

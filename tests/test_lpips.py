@@ -6,6 +6,7 @@ import pytest
 from image_editing_framework_tpu.eval.lpips import LPIPS, _VGG16_CONVS
 
 
+@pytest.mark.slow
 def test_lpips_behavior():
     m = LPIPS()
     # real LPIPS linear heads are non-negative; enforce for the random net

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from image_editing_framework_tpu.core.config import MasaCtrlConfig, SamplerConfig
 from image_editing_framework_tpu.methods.masactrl import masactrl_edit
@@ -60,6 +61,7 @@ def test_auto_step_bind_and_override():
     assert out0.shape == q.shape
 
 
+@pytest.mark.slow
 def test_auto_mask_end_to_end():
     pipe = tiny_pipeline(num_steps=4)
     lat = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4))

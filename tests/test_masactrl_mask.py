@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from image_editing_framework_tpu.core.config import MasaCtrlConfig
 from image_editing_framework_tpu.models import configs
@@ -71,6 +72,7 @@ def test_mask_step_semantics():
     assert step.self_override(site2, q, k, v) is None
 
 
+@pytest.mark.slow
 def test_mask_control_through_unet():
     m = UNet2DCondition(configs.TINY_UNET)
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 4))

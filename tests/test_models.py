@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from image_editing_framework_tpu.core.config import MasaCtrlConfig, P2PConfig, PnPConfig
 from image_editing_framework_tpu.models import configs
@@ -27,6 +28,7 @@ def test_unet_shapes_and_layout():
     assert configs.TINY_UNET.num_transformer_blocks == 4
 
 
+@pytest.mark.slow
 def test_p2z_records_all_cross_sites():
     m, params, x, ctx = tiny_unet(batch=2)
     ctrl = controls.P2ZControl().at_step(0)
@@ -134,6 +136,7 @@ def test_clip_causality():
     assert float(jnp.abs(h1[:, 4:] - h2[:, 4:]).max()) > 1e-4
 
 
+@pytest.mark.slow
 def test_remat_grads_match():
     """Rematerialized UNet: identical outputs and gradients."""
     from image_editing_framework_tpu.models.unet import UNet2DCondition as U

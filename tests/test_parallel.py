@@ -46,6 +46,7 @@ def test_param_specs_pick_attention_kernels():
     assert seen_col and seen_row and seen_rep
 
 
+@pytest.mark.slow
 def test_sharded_unet_forward_matches_single_device(devices8):
     """TP+DP sharded forward == replicated forward."""
     m = mesh_lib.make_mesh(tensor=4, devices=devices8)
@@ -68,6 +69,7 @@ def test_sharded_unet_forward_matches_single_device(devices8):
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs(devices8):
     m = mesh_lib.make_mesh(tensor=2, devices=devices8)
     unet = UNet2DCondition(configs.TINY_UNET)

@@ -62,6 +62,7 @@ def test_inversion_step_consistency(pipe):
         )
 
 
+@pytest.mark.slow
 def test_inversion_reconstruction(pipe50):
     """invert -> denoise at guidance 1.0 reconstructs far better than
     denoising from an unrelated start latent.
@@ -80,6 +81,7 @@ def test_inversion_reconstruction(pipe50):
     assert err < err_rand / 3, (err, err_rand)
 
 
+@pytest.mark.slow
 def test_nti_improves_cfg_reconstruction(pipe):
     lat = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4)) * 0.1
     last, traj, context, _ = ddim_invert(pipe, lat, "a cat")
@@ -158,6 +160,7 @@ def test_p2z_edit_runs_and_zero_guidance_equivalence(pipe):
     np.testing.assert_allclose(np.asarray(edit0), np.asarray(plain_img), atol=1)
 
 
+@pytest.mark.slow
 def test_direct_inversion_improves_cfg_reconstruction(pipe):
     """Source-branch trajectory replay (direct inversion) pins the
     reconstruction even under CFG 7.5."""

@@ -93,6 +93,7 @@ def test_precomputed_inversion_cache(mini_pie, tmp_path):
     assert latent.shape == (1, 8, 8, 4) and uncond.shape == (4, 77, 32)
 
 
+@pytest.mark.slow
 def test_sweep_batched_mode(mini_pie, tmp_path):
     pipe = tiny_pipeline(num_steps=4)
     exp = str(tmp_path / "exp_batched")
@@ -137,6 +138,31 @@ def test_sweep_consumes_precomputed_inversions(mini_pie, tmp_path):
     assert stats["images_done"] == 1
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["masactrl", "pnp", "p2z"])
+def test_sweep_batched_other_methods(mini_pie, tmp_path, method):
+    """--batch_size works for all four methods (masactrl/pnp/p2z join p2p)."""
+    from image_editing_framework_tpu.core.config import MasaCtrlConfig
+
+    pipe = tiny_pipeline(num_steps=4)
+    exp = str(tmp_path / f"exp_batched_{method}")
+    mk = (
+        {"config": MasaCtrlConfig(start_step=1, start_layer=0)}
+        if method == "masactrl"
+        else None
+    )
+    stats = run_sweep(
+        pipe, method, mini_pie, exp, inversion_type="ddim", categories=(0,),
+        max_items=2, resolution=32, batch_size=2, method_kwargs=mk,
+    )
+    assert stats["images_done"] == 2
+    done_dirs = sorted(os.listdir(os.path.join(exp, "0_random")))
+    for d in done_dirs:
+        for f in ("source.png", "inversion.png", "edit.png"):
+            assert os.path.exists(os.path.join(exp, "0_random", d, f))
+
+
+@pytest.mark.slow
 def test_sweep_batched_null_text(mini_pie, tmp_path):
     pipe = tiny_pipeline(num_steps=4)
     exp = str(tmp_path / "exp_bnti")

@@ -36,6 +36,7 @@ def test_xl_encode_prompts(xl):
     np.testing.assert_array_equal(np.asarray(added["text_embeds"][:2]), 0)
 
 
+@pytest.mark.slow
 def test_xl_sampling_and_inversion(xl):
     ctx, added = common.prepare_conditioning(xl, ["a cat"], 128, 128)
     lat0 = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4)) * 0.1
@@ -59,6 +60,7 @@ def test_xl_sampling_and_inversion(xl):
         np.testing.assert_allclose(np.asarray(back), np.asarray(traj[j]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_xl_nti_reset_variant(xl):
     lat = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4)) * 0.1
     last, traj, context, _ = ddim_invert(xl, lat, "a cat")
@@ -93,6 +95,7 @@ def test_xl_masactrl_edit(xl):
     assert img.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_xl_p2z_edit(xl):
     from image_editing_framework_tpu.core.config import P2ZConfig
     from image_editing_framework_tpu.methods.p2z import p2z_edit
