@@ -116,6 +116,33 @@ def main() -> None:
         img = np.asarray(run_once())
     per_image = (time.perf_counter() - t0) / n
 
+    if os.environ.get("IEF_BENCH_PHASES"):
+        # per-phase timings to stderr (stdout stays ONE JSON line)
+        import sys
+
+        def timed(fn):
+            np.asarray(jax.tree_util.tree_leaves(fn())[0])
+            t = time.perf_counter()
+            np.asarray(jax.tree_util.tree_leaves(fn())[0])
+            return time.perf_counter() - t
+
+        t_inv = timed(
+            lambda: _invert_scan(unet, params, sched, latent, cond, added1, use_flash)[0]
+        )
+        lat2 = jnp.broadcast_to(latent, (2, side, side, 4))
+        t_edit = timed(
+            lambda: _denoise_scan(
+                unet, params, sched, lat2, context, ctrl, jnp.asarray(7.5, dtype),
+                added4, None, LocalBlend(jnp.zeros((1, 77))), None, use_flash,
+                False, False, None,
+            )[0]
+        )
+        print(
+            f"phases: invert={t_inv:.3f}s edit={t_edit:.3f}s "
+            f"decode≈{per_image - t_inv - t_edit:.3f}s",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {

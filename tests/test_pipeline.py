@@ -143,6 +143,7 @@ def test_pnp_edit_runs(pipe50):
     assert img.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_p2z_edit_runs_and_zero_guidance_equivalence(pipe):
     lat = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 16, 4))
     rec, edit = p2z_edit(

@@ -110,6 +110,7 @@ def test_ulysses_attention_matches_full(mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ulysses_with_bias_and_grads(mesh):
     b, h, n, d = 1, 8, 128, 16
     q, k, v = _qkv(jax.random.PRNGKey(6), b, h, n, d)

@@ -76,6 +76,7 @@ def test_xl_nti_reset_variant(xl):
     assert bool(jnp.isfinite(uncond_seq).all())
 
 
+@pytest.mark.slow
 def test_xl_p2p_edit(xl):
     lat = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4))
     img = p2p_edit(
