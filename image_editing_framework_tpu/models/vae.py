@@ -158,3 +158,85 @@ class AutoencoderKL(nn.Module):
 
     def __call__(self, x):
         return self.decode(self.encode(x))
+
+
+def decode_tiled(
+    vae: AutoencoderKL,
+    params,
+    z: jnp.ndarray,  # (B, h, w, 4) scaled latents
+    tile: int = 64,
+    overlap: int = 16,
+) -> jnp.ndarray:
+    """Memory-bounded decode: split the latent into overlapping spatial
+    tiles, decode each through ONE compiled tile program, and linearly blend
+    the overlaps (row then column ramps — the diffusers enable_vae_tiling
+    recipe, expressed with static tile grids so XLA compiles a single tile
+    decoder). Peak activation memory drops from O(H*W) to O(tile^2 * 64)
+    regardless of image size — the XL 1024^2 (and beyond: 2048^2) headroom
+    lever (ROADMAP round-1 item 7).
+
+    ``tile``/``overlap`` are in latent pixels; the decoded tiles overlap by
+    scale*overlap image pixels (scale = the decoder's upsampling factor, 8
+    for SD VAEs).
+    """
+    b, h, w, c = z.shape
+    if h <= tile and w <= tile:
+        return vae.apply(params, z, method=AutoencoderKL.decode)
+    stride = tile - overlap
+    rows = max(1, -(-(h - overlap) // stride))
+    cols = max(1, -(-(w - overlap) // stride))
+
+    decoded = []
+    for r in range(rows):
+        row_tiles = []
+        y = min(r * stride, h - tile)
+        for cidx in range(cols):
+            x = min(cidx * stride, w - tile)
+            zt = jax.lax.dynamic_slice(z, (0, y, x, 0), (b, tile, tile, c))
+            row_tiles.append(
+                (x, vae.apply(params, zt, method=AutoencoderKL.decode))
+            )
+        decoded.append((y, row_tiles))
+
+    scale = decoded[0][1][0][1].shape[1] // tile
+    out_tile = tile * scale
+    out_ov = overlap * scale
+
+    # blend columns within each row, then blend rows
+    img_h, img_w = h * scale, w * scale
+    canvas = jnp.zeros((b, img_h, img_w, 3), decoded[0][1][0][1].dtype)
+    weight = jnp.zeros((1, img_h, img_w, 1), jnp.float32)
+    ramp1d = jnp.arange(1, out_ov + 1, dtype=jnp.float32) / (out_ov + 1)
+    for (y, row_tiles) in decoded:
+        for (x, timg) in row_tiles:
+            ty, tx = y * scale, x * scale
+            wv = jnp.ones((out_tile,), jnp.float32)
+            if ty > 0:
+                wv = wv.at[:out_ov].set(ramp1d)
+            if ty + out_tile < img_h:
+                wv = wv.at[-out_ov:].set(ramp1d[::-1])
+            wh = jnp.ones((out_tile,), jnp.float32)
+            if tx > 0:
+                wh = wh.at[:out_ov].set(ramp1d)
+            if tx + out_tile < img_w:
+                wh = wh.at[-out_ov:].set(ramp1d[::-1])
+            wt = (wv[:, None] * wh[None, :])[None, :, :, None]
+            canvas = jax.lax.dynamic_update_slice(
+                canvas,
+                jax.lax.dynamic_slice(
+                    canvas, (0, ty, tx, 0), (b, out_tile, out_tile, 3)
+                )
+                + (timg.astype(jnp.float32) * wt).astype(canvas.dtype),
+                (0, ty, tx, 0),
+            )
+            weight = jax.lax.dynamic_update_slice(
+                weight,
+                jax.lax.dynamic_slice(
+                    weight, (0, ty, tx, 0), (1, out_tile, out_tile, 1)
+                )
+                + wt,
+                (0, ty, tx, 0),
+            )
+    return (canvas.astype(jnp.float32) / jnp.maximum(weight, 1e-6)).astype(
+        canvas.dtype
+    )

@@ -163,9 +163,22 @@ class SDPipeline:
         x = jnp.asarray(image, self.dtype) / 127.5 - 1.0
         return self.vae.apply(self.vae_params, x, method=AutoencoderKL.encode)
 
-    def latent2image(self, latents: jnp.ndarray) -> np.ndarray:
-        """Latents -> uint8 numpy images (p2p/model/sd_utils.py:82-88)."""
-        img = self.vae.apply(self.vae_params, latents, method=AutoencoderKL.decode)
+    def latent2image(
+        self, latents: jnp.ndarray, tile_latent: Optional[int] = None
+    ) -> np.ndarray:
+        """Latents -> uint8 numpy images (p2p/model/sd_utils.py:82-88).
+
+        ``tile_latent`` decodes in overlapping latent tiles of that size
+        (models/vae.py:decode_tiled) — bounds decoder activation memory for
+        XL-and-beyond resolutions."""
+        if tile_latent is not None:
+            from image_editing_framework_tpu.models.vae import decode_tiled
+
+            img = decode_tiled(self.vae, self.vae_params, latents, tile_latent)
+        else:
+            img = self.vae.apply(
+                self.vae_params, latents, method=AutoencoderKL.decode
+            )
         img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
         return np.asarray(jnp.round(img * 255).astype(jnp.uint8))
 

@@ -114,6 +114,29 @@ def test_vae_roundtrip_shapes():
     assert img.shape == (1, 32, 32, 3)
 
 
+def test_vae_tiled_decode():
+    """Tiled decode: exact when one tile covers the latent; seam-blended and
+    close to the full decode otherwise (memory-bounded XL decode path)."""
+    import numpy as np
+
+    from image_editing_framework_tpu.models.vae import decode_tiled
+
+    vae = AutoencoderKL(TINY_VAE)
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 4)) * 0.5
+    params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    full = vae.apply(params, z, method=AutoencoderKL.decode)
+
+    one_tile = decode_tiled(vae, params, z, tile=32)
+    np.testing.assert_allclose(np.asarray(one_tile), np.asarray(full), atol=1e-6)
+
+    tiled = decode_tiled(vae, params, z, tile=16, overlap=8)
+    assert tiled.shape == full.shape
+    assert bool(jnp.isfinite(tiled).all())
+    # interiors agree; only border-padding effects differ near seams
+    diff = np.abs(np.asarray(tiled, np.float32) - np.asarray(full, np.float32))
+    assert np.median(diff) < 0.05, float(np.median(diff))
+
+
 def test_clip_outputs():
     clip = CLIPTextModel(TINY_CLIP)
     ids = jnp.array([[1, 5, 6, 63, 0, 0, 0, 0]], jnp.int32)  # EOS=63 at pos 3
