@@ -400,8 +400,12 @@ def flash_attention(
 def _defaults(q, k, sm_scale, block_q, block_k):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    # 1024/1024 at >=4096 tokens matches 2048-query tiles in-scan (41.1 vs
+    # 41.4 ms/fwd on v5e SD batch-4) while staying comfortably inside the
+    # 16 MB scoped-VMEM budget — 2048 tiles sat within 2% of the limit and
+    # overflowed under vmap (batched sweep) and alongside the lse output.
     if block_q is None:
-        block_q = 2048 if q.shape[2] >= 4096 else 256
+        block_q = 1024 if q.shape[2] >= 4096 else 256
     if block_k is None:
         block_k = 1024 if k.shape[2] >= 4096 else 512
     return sm_scale, block_q, block_k
