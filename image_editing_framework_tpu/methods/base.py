@@ -82,7 +82,7 @@ def _denoise_scan(
     use_flash: bool,
     collect_records: bool,
     has_blend: bool,
-    store_mode: Optional[str],  # None | 'sum' (LocalBlend) | 'last' (MaskAuto)
+    store_mode: Optional[str],  # None | 'sum' (LocalBlend cross-step average)
 ):
     p = latents.shape[0]
     steps = sched.num_steps
@@ -126,8 +126,6 @@ def _denoise_scan(
         lat = ddim_step(sched, eps_g, i, lat)
         if store_mode == "sum":
             store = {k: store[k] + rec[k].astype(jnp.float32) for k in store}
-        elif store_mode == "last":
-            store = {k: rec[k].astype(jnp.float32) for k in store}
         if has_blend:
             lat = blend(lat, store)
         ys = rec if collect_records else None
@@ -157,12 +155,7 @@ def denoise(
     """
     if ctrl is None:
         ctrl = NoneControl()
-    if blend is not None:
-        store_mode = "sum"
-    elif getattr(ctrl, "wants_store", False):
-        store_mode = ctrl.store_mode
-    else:
-        store_mode = None
+    store_mode = "sum" if blend is not None else None
     return _denoise_scan(
         pipe.unet,
         pipe.unet_params,

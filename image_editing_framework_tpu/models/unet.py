@@ -145,7 +145,7 @@ class Attention(nn.Module):
     cp_mode: str = "ring"  # 'ring' (ppermute KV) | 'ulysses' (all_to_all)
 
     @nn.compact
-    def __call__(self, x, context, ctrl, use_flash: bool = True):
+    def __call__(self, x, context, ctrl, use_flash: bool = True, running=None):
         is_cross = self.cross_dim is not None
         site = AttnSite(
             layer=self.layer, place=self.place, seq_len=x.shape[1], is_cross=is_cross
@@ -175,7 +175,9 @@ class Attention(nn.Module):
                 records[rkey] = ctrl.record(site, probs)
             out = apply_probs(probs, v)
         else:
-            out = ctrl.self_override(site, q, k, v)  # masked variants
+            # masked variants; ``running`` = records from earlier sites of
+            # this same forward (same-pass MaskAuto aggregation)
+            out = ctrl.self_override(site, q, k, v, running)
             if out is None:
                 plan = ctrl.self_plan(site, x.shape[0])
                 mesh = self.cp_mesh if x.shape[1] >= self.cp_min_seq else None
@@ -214,13 +216,16 @@ class BasicTransformerBlock(nn.Module):
     cp_mode: str = "ring"
 
     @nn.compact
-    def __call__(self, x, context, ctrl, use_flash: bool = True):
+    def __call__(self, x, context, ctrl, use_flash: bool = True, running=None):
         records: Records = {}
         h, rec = Attention(
             self.dim, self.heads, None, self.layer, self.place,
             dtype=self.dtype, cp_mesh=self.cp_mesh, cp_min_seq=self.cp_min_seq,
             cp_mode=self.cp_mode, name="attn1",
-        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), None, ctrl, use_flash)
+        )(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x),
+            None, ctrl, use_flash, running,
+        )
         records.update(rec)
         x = x + h
         h, rec = Attention(
@@ -254,7 +259,7 @@ class Transformer2D(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, context, ctrl, use_flash: bool = True):
+    def __call__(self, x, context, ctrl, use_flash: bool = True, running=None):
         b, hh, ww, c = x.shape
         residual = x
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
@@ -270,14 +275,21 @@ class Transformer2D(nn.Module):
             if self.remat
             else BasicTransformerBlock
         )
+        # ``running`` is the UNet-wide records dict, threaded down so later
+        # sites see earlier sites' recorded maps within the same forward;
+        # updates happen here, OUTSIDE the (possibly remat'ed) block, so they
+        # propagate in trace order.
+        if running is None:
+            running = {}
         for i, layer in enumerate(self.layers):
             h, rec = block_cls(
                 self.channels, self.heads, self.cross_dim, layer, self.place,
                 dtype=self.dtype, cp_mesh=self.cp_mesh,
                 cp_min_seq=self.cp_min_seq, cp_mode=self.cp_mode,
                 name=f"block_{i}",
-            )(h, context, ctrl, use_flash)
+            )(h, context, ctrl, use_flash, dict(running))
             records.update(rec)
+            running.update(rec)
         if self.use_linear_projection:
             h = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(h)
             h = h.reshape(b, hh, ww, self.channels)
@@ -408,7 +420,7 @@ class UNet2DCondition(nn.Module):
                         dtype=self.dtype, cp_mesh=self.cp_mesh, remat=self.remat,
                         cp_min_seq=self.cp_min_seq, cp_mode=self.cp_mode,
                         name=f"down_{i}_attn_{j}",
-                    )(x, context, ctrl, use_flash)
+                    )(x, context, ctrl, use_flash, records)
                     records.update(rec)
                 skips.append(x)
             if not is_last:
@@ -426,7 +438,7 @@ class UNet2DCondition(nn.Module):
             use_linear_projection=cfg.use_linear_projection,
             dtype=self.dtype, cp_mesh=self.cp_mesh, remat=self.remat,
             cp_min_seq=self.cp_min_seq, cp_mode=self.cp_mode, name="mid_attn",
-        )(x, context, ctrl, use_flash)
+        )(x, context, ctrl, use_flash, records)
         records.update(rec)
         x = ResnetBlock(mid_ch, key="mid_res1", dtype=self.dtype, name="mid_resnet_1")(
             x, temb, ctrl
@@ -452,7 +464,7 @@ class UNet2DCondition(nn.Module):
                         dtype=self.dtype, cp_mesh=self.cp_mesh, remat=self.remat,
                         cp_min_seq=self.cp_min_seq, cp_mode=self.cp_mode,
                         name=f"up_{i}_attn_{j}",
-                    )(x, context, ctrl, use_flash)
+                    )(x, context, ctrl, use_flash, records)
                     records.update(rec)
             if not is_last:
                 x = Upsample(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)

@@ -49,14 +49,20 @@ class NoneStep:
     def self_plan(self, site: AttnSite, batch: int) -> Optional[SelfAttnPlan]:
         return None
 
-    def self_override(self, site: AttnSite, q, k, v):
+    def self_override(self, site: AttnSite, q, k, v, running=None):
         """Full custom self-attention output (masked MasaCtrl variants);
-        None means use the plan/flash path. Static per control type."""
+        None means use the plan/flash path. Static per control type.
+
+        ``running`` is the dict of records accumulated by *earlier sites of
+        the same UNet forward* (the UNet threads its records dict down in
+        execution order) — MaskAuto derives its masks from it, matching the
+        reference's same-pass cross-attention aggregation
+        (masactrl/model/attention_control.py:276-296)."""
         return None
 
     def bind_store(self, store, step_index):
-        """Receive the denoise loop's carried record store (MaskAuto derives
-        its masks from the previous step's cross-attention maps)."""
+        """Receive the denoise loop's carried record store (accumulated
+        across steps — the LocalBlend 'sum' mode)."""
         del store, step_index
         return self
 
@@ -270,7 +276,7 @@ class MasaCtrlMaskStep(MasaCtrlStep):
         m = jax.image.resize(mask, (side, side), method="nearest")
         return m.reshape(-1)  # (N,)
 
-    def self_override(self, site: AttnSite, q, k, v):
+    def self_override(self, site: AttnSite, q, k, v, running=None):
         if site.layer not in self.layers:
             return None
         from image_editing_framework_tpu.ops import attention as attn_ops
@@ -309,20 +315,18 @@ class MasaCtrlAutoStep(MasaCtrlStep):
     fg/bg masks are *derived* from res-16 cross-attention maps of selected
     tokens rather than supplied.
 
-    TPU design note: the reference aggregates maps recorded earlier in the
-    same forward pass; here masks come from the **previous denoising step's**
-    full-pass average (bound by the scan via ``bind_store``) — a one-step lag
-    that keeps the program a pure scan. The maps evolve slowly across the 50
-    steps, and gating starts at step >= 4, so the lagged mask is essentially
-    identical in practice.
+    Same-pass aggregation, faithful to the reference: the masks at a gated
+    self-attention site come from the mean of the 16x16 cross-attention maps
+    recorded by earlier layers of the SAME forward (the UNet threads its
+    records dict down in execution order — ``running``), exactly like the
+    reference's ``self.cross_attns`` list that ``after_step`` clears
+    (attention_control.py:224-226, 273-296). With no maps recorded yet the
+    target falls back to plain mutual attention (:293-296).
     """
 
     thres: float = struct.field(pytree_node=False, default=0.1)
     ref_idx: Tuple[int, ...] = struct.field(pytree_node=False, default=(1,))
     cur_idx: Tuple[int, ...] = struct.field(pytree_node=False, default=(1,))
-    mask_s16: jnp.ndarray = None  # (256,) normalized source-token map
-    mask_t16: jnp.ndarray = None  # (256,) normalized target-token map
-    has_mask: jnp.ndarray = None  # () bool
 
     def record_key(self, site: AttnSite) -> Optional[str]:
         if site.is_cross and site.seq_len == 256:
@@ -332,10 +336,11 @@ class MasaCtrlAutoStep(MasaCtrlStep):
     def record(self, site: AttnSite, probs: jnp.ndarray) -> jnp.ndarray:
         return probs.mean(axis=1)  # (2P, 256, 77), mean over heads
 
-    def bind_store(self, store, step_index):
-        if not store:
-            return self
-        avg = jnp.mean(jnp.stack(list(store.values())), axis=0)  # (2P,256,77)
+    def _masks_from(self, running) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(mask_s16, mask_t16) from the maps recorded so far this forward
+        (reference aggregate_cross_attn_map, attention_control.py:257-269)."""
+        maps = [running[key] for key in sorted(running)]
+        avg = jnp.mean(jnp.stack(maps), axis=0)  # (2P, 256, 77)
 
         def token_map(idx):
             img = avg[..., jnp.asarray(idx)].sum(-1)  # (2P, 256)
@@ -346,9 +351,7 @@ class MasaCtrlAutoStep(MasaCtrlStep):
         p = self.num_prompts
         mask_s = token_map(self.ref_idx)[p]  # conditional source (mask[-2])
         mask_t = token_map(self.cur_idx)[2 * p - 1]  # conditional target
-        return self.replace(
-            mask_s16=mask_s, mask_t16=mask_t, has_mask=jnp.asarray(step_index > 0)
-        )
+        return mask_s, mask_t
 
     def _resize(self, m16: jnp.ndarray, seq_len: int) -> jnp.ndarray:
         side = int(seq_len**0.5)
@@ -357,7 +360,7 @@ class MasaCtrlAutoStep(MasaCtrlStep):
     def self_plan(self, site, batch):
         return None  # all logic lives in self_override
 
-    def self_override(self, site: AttnSite, q, k, v):
+    def self_override(self, site: AttnSite, q, k, v, running=None):
         if site.layer not in self.layers:
             return None
         from image_editing_framework_tpu.ops import attention as attn_ops
@@ -372,8 +375,16 @@ class MasaCtrlAutoStep(MasaCtrlStep):
         normal = attn_ops.self_attention(q, k, v, None, use_flash=False)
         mutual = attn_ops.self_attention(q, k_src, v_src, None, use_flash=False)
 
-        ms = self._resize(self.mask_s16, n) if self.mask_s16 is not None else jnp.zeros(n)
-        mt = self._resize(self.mask_t16, n) if self.mask_t16 is not None else jnp.zeros(n)
+        if not running:
+            # no cross maps recorded yet this forward: plain mutual attention
+            # for targets (attention_control.py:293-296)
+            target_out = jnp.where(self.step_gate, mutual, normal)
+            is_target = ((iota % p) != 0)[:, None, None, None]
+            return jnp.where(is_target, target_out, normal)
+
+        mask_s16, mask_t16 = self._masks_from(running)
+        ms = self._resize(mask_s16, n)
+        mt = self._resize(mask_t16, n)
         ms_bin = (ms >= self.thres).astype(jnp.float32)
         mt_bin = (mt >= self.thres).astype(jnp.float32)
         bias_fg = jnp.broadcast_to(jnp.where(ms_bin > 0.5, 0.0, NEG_INF)[None], (b, n))
@@ -384,10 +395,7 @@ class MasaCtrlAutoStep(MasaCtrlStep):
             1.0 - mt_bin[None, None, :, None]
         )
 
-        has_mask = self.has_mask if self.has_mask is not None else jnp.asarray(False)
-        target_out = jnp.where(
-            self.step_gate, jnp.where(has_mask, masked, mutual), normal
-        )
+        target_out = jnp.where(self.step_gate, masked, normal)
         is_target = ((iota % p) != 0)[:, None, None, None]
         return jnp.where(is_target, target_out, normal)
 
@@ -405,15 +413,6 @@ class MasaCtrlControl:
     ref_idx: Tuple[int, ...] = struct.field(pytree_node=False, default=(1,))
     cur_idx: Tuple[int, ...] = struct.field(pytree_node=False, default=(1,))
 
-    # store protocol for the denoise scan (MaskAuto needs last-step maps)
-    @property
-    def wants_store(self) -> bool:
-        return self.auto_mask
-
-    @property
-    def store_mode(self) -> str:
-        return "last"
-
     def at_step(self, i) -> MasaCtrlStep:
         if self.auto_mask:
             return MasaCtrlAutoStep(
@@ -424,9 +423,6 @@ class MasaCtrlControl:
                 thres=self.thres,
                 ref_idx=self.ref_idx,
                 cur_idx=self.cur_idx,
-                mask_s16=jnp.zeros(256),
-                mask_t16=jnp.zeros(256),
-                has_mask=jnp.asarray(False),
             )
         if self.mask_s is not None:
             return MasaCtrlMaskStep(

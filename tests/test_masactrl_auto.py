@@ -12,12 +12,14 @@ from image_editing_framework_tpu.ops.attention import AttnSite
 from image_editing_framework_tpu.pipelines import tiny_pipeline
 
 
-def test_auto_step_bind_and_override():
+def test_auto_step_same_pass_masks():
+    """Masks derive from cross maps recorded EARLIER IN THE SAME FORWARD
+    (the UNet's running records dict) — reference same-pass aggregation
+    (masactrl/model/attention_control.py:273-296)."""
     ctrl = controls.build_masactrl_control(
         50, 16, MasaCtrlConfig(start_step=4, start_layer=10), auto_mask=True,
         ref_token_idx=(1,), cur_token_idx=(1,),
     )
-    assert ctrl.wants_store and ctrl.store_mode == "last"
     step = ctrl.at_step(10)
     assert isinstance(step, controls.MasaCtrlAutoStep)
 
@@ -30,12 +32,10 @@ def test_auto_step_bind_and_override():
     rec = step.record(cross16, probs)
     assert rec.shape == (4, 256, 77)
 
-    # binding derives normalized masks from the store
-    store = {"a": rec, "b": rec * 2.0}
-    bound = step.bind_store(store, 5)
-    assert bound.mask_s16.shape == (256,)
-    assert float(bound.mask_s16.max()) == 1.0 and float(bound.mask_s16.min()) == 0.0
-    assert bool(bound.has_mask)
+    running = {"a": rec, "b": rec * 2.0}
+    mask_s, mask_t = step._masks_from(running)
+    assert mask_s.shape == (256,)
+    assert float(mask_s.max()) == 1.0 and float(mask_s.min()) == 0.0
 
     # override produces output of the right shape and modifies only targets
     q, k, v = (
@@ -43,22 +43,36 @@ def test_auto_step_bind_and_override():
         for kk in jax.random.split(jax.random.PRNGKey(1), 3)
     )
     site = AttnSite(layer=12, place="up", seq_len=256, is_cross=False)
-    out = bound.self_override(site, q, k, v)
+    out = step.self_override(site, q, k, v, running)
     d = q.shape[-1]
 
-    def plain(b):
-        s = jnp.einsum("hqd,hkd->hqk", q[b], k[b]) / jnp.sqrt(d)
+    def attn(qb, kb, vb):
+        s = jnp.einsum("hqd,hkd->hqk", qb, kb) / jnp.sqrt(d)
         p = jax.nn.softmax(s.astype(jnp.float32), -1)
-        return jnp.einsum("hqk,hkd->hqd", p.astype(v.dtype), v[b])
+        return jnp.einsum("hqk,hkd->hqd", p.astype(vb.dtype), vb)
 
-    for b in [0, 2]:
-        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(plain(b)), atol=1e-5)
-    assert float(jnp.abs(out[1] - plain(1)).max()) > 1e-4
+    for b in [0, 2]:  # source rows: plain self-attention
+        np.testing.assert_allclose(
+            np.asarray(out[b]), np.asarray(attn(q[b], k[b], v[b])), atol=1e-5
+        )
+    assert float(jnp.abs(out[1] - attn(q[1], k[1], v[1])).max()) > 1e-4
 
-    # unbound (step 0 / no store): targets fall back to mutual when gated
-    site_l = AttnSite(layer=12, place="up", seq_len=256, is_cross=False)
-    out0 = step.self_override(site_l, q, k, v)
-    assert out0.shape == q.shape
+    # empty running (no cross maps yet this forward): targets fall back to
+    # PLAIN MUTUAL attention vs the source K/V (reference :293-296)
+    out0 = step.self_override(site, q, k, v, {})
+    np.testing.assert_allclose(
+        np.asarray(out0[1]), np.asarray(attn(q[1], k[0], v[0])), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out0[0]), np.asarray(attn(q[0], k[0], v[0])), atol=1e-5
+    )
+
+    # ungated step: everything plain
+    out_ungated = ctrl.at_step(0).self_override(site, q, k, v, running)
+    for b in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out_ungated[b]), np.asarray(attn(q[b], k[b], v[b])), atol=1e-5
+        )
 
 
 @pytest.mark.slow
