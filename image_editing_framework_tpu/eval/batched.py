@@ -23,6 +23,18 @@ from image_editing_framework_tpu.methods.base import LocalBlend, _denoise_scan
 from image_editing_framework_tpu.ops import controls as ctl
 
 
+
+def _encode_pairs_sd(pipe, prompt_pairs) -> jnp.ndarray:
+    """(G, 2P, 77, D) contexts for G prompt pairs in ONE text-encoder call
+    (per-pair eager encodes dominated batched-group host time)."""
+    flat = [p for pair in prompt_pairs for p in pair]  # [s0, t0, s1, t1, ...]
+    g, pp = len(prompt_pairs), len(prompt_pairs[0])
+    emb = pipe.encode_prompts_sd(flat)  # (2*G*pp, 77, D): [uncond..., cond...]
+    uncond = emb[: g * pp].reshape(g, pp, *emb.shape[1:])
+    cond = emb[g * pp :].reshape(g, pp, *emb.shape[1:])
+    return jnp.concatenate([uncond, cond], axis=1)  # (G, 2pp, 77, D)
+
+
 def stack_controls(items: Sequence) -> object:
     """Stack per-image control pytrees (static fields must agree)."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
@@ -79,9 +91,7 @@ def p2p_edit_batch(
             for pair, cfg in zip(prompt_pairs, cfgs)
         ]
     )
-    contexts = jnp.stack(
-        [pipe.encode_prompts_sd(list(pair)) for pair in prompt_pairs]
-    )  # (G, 4, 77, D)
+    contexts = _encode_pairs_sd(pipe, prompt_pairs)  # (G, 4, 77, D)
     lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
     final = _batched_edit(
         pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrls,
@@ -114,9 +124,7 @@ def masactrl_edit_batch(
     ctrl = ctl.build_masactrl_control(
         s, pipe.unet.config.num_transformer_blocks, cfg
     )
-    contexts = jnp.stack(
-        [pipe.encode_prompts_sd(list(pair)) for pair in prompt_pairs]
-    )
+    contexts = _encode_pairs_sd(pipe, prompt_pairs)
     lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
     final = _batched_edit(
         pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrl,
@@ -149,9 +157,7 @@ def pnp_edit_batch(
     else:
         attn_layers, conv_keys = model_configs.pnp_sites_sd(pipe.unet.config)
     ctrl = ctl.build_pnp_control(s, cfg, attn_layers, conv_keys)
-    contexts = jnp.stack(
-        [pipe.encode_prompts_sd(list(pair)) for pair in prompt_pairs]
-    )
+    contexts = _encode_pairs_sd(pipe, prompt_pairs)
     lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
     final = _batched_edit(
         pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrl,
@@ -204,12 +210,8 @@ def p2z_edit_batch(
 
     g = len(prompt_pairs)
     cfg = cfg or P2ZConfig()
-    ctx_srcs = jnp.stack(
-        [pipe.encode_prompts_sd([pair[0]]) for pair in prompt_pairs]
-    )  # (G, 2, 77, D)
-    ctx_tgts = jnp.stack(
-        [pipe.encode_prompts_sd([pair[1]]) for pair in prompt_pairs]
-    )
+    ctx_srcs = _encode_pairs_sd(pipe, [[pair[0]] for pair in prompt_pairs])
+    ctx_tgts = _encode_pairs_sd(pipe, [[pair[1]] for pair in prompt_pairs])
     final_src, final_tgt = _batched_p2z(
         pipe.unet, pipe.unet_params, pipe.scheduler, latents, ctx_srcs,
         ctx_tgts, jnp.asarray(guidance_scale, latents.dtype),
@@ -229,7 +231,8 @@ def ddim_invert_batch(
     return_trajectory: bool = False,
 ):
     """Invert G images under their source prompts in one program."""
-    conds = jnp.stack([pipe.encode_prompts_sd([p])[1:] for p in prompts])
+    g = len(prompts)
+    conds = pipe.encode_prompts_sd(list(prompts))[g:][:, None]  # (G, 1, 77, D)
     last, traj = _batched_invert(
         pipe.unet, pipe.unet_params, pipe.scheduler, latents, conds, None,
         use_flash,
@@ -245,7 +248,11 @@ def nti_batch(pipe, trajectories, prompts, cfg=None, guidance_scale: float = 7.5
     from image_editing_framework_tpu.core.config import NTIConfig
     from image_editing_framework_tpu.inversion.nti import null_text_inversion_batch
 
-    contexts = jnp.stack([pipe.encode_prompts_sd([p]) for p in prompts])
+    g = len(prompts)
+    emb = pipe.encode_prompts_sd(list(prompts))  # (2G, 77, D): [uncond, cond]
+    contexts = jnp.stack(
+        [jnp.stack([emb[i], emb[g + i]]) for i in range(g)]
+    )  # (G, 2, 77, D)
     return null_text_inversion_batch(
         pipe, trajectories, contexts, cfg or NTIConfig(),
         guidance_scale=guidance_scale, use_flash=use_flash,

@@ -256,9 +256,10 @@ def run_sweep(
         "images_skipped": skipped,
         "wall_s": round(wall, 2),
         "mean_s_per_image": round(float(np.mean(times)), 3) if times else None,
-        # first image includes compile; steady-state excludes it
-        "steady_s_per_image": round(float(np.mean(times[1:])), 3)
-        if len(times) > 1
+        # the first image (serial) / whole first group (batched) includes
+        # compile; steady-state excludes it
+        "steady_s_per_image": round(float(np.mean(times[max(1, batch_size):])), 3)
+        if len(times) > max(1, batch_size)
         else None,
     }
     os.makedirs(exp_path, exist_ok=True)

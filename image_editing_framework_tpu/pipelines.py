@@ -51,6 +51,24 @@ class SDPipeline:
 
     # ------------------------------------------------------------------ text
 
+    def _jitted(self, name: str, fn):
+        """Per-pipeline jit cache: text/vae forwards are hot per-image host
+        calls (tokenize -> encode, image2latent, latent2image); running them
+        eagerly dispatches hundreds of single ops per call on TPU."""
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
+    def _text_forward(self, ids: jnp.ndarray, second: bool = False):
+        if second:
+            return self._jitted(
+                "text2", lambda p, i: self.text_encoder_2.apply(p, i)
+            )(self.text_params_2, ids)
+        return self._jitted("text", lambda p, i: self.text_encoder.apply(p, i))(
+            self.text_params, ids
+        )
+
     def _token_ids(self, prompts: Sequence[str], tokenizer=None) -> jnp.ndarray:
         from image_editing_framework_tpu.models.tokenizer import pad_token_ids
 
@@ -65,7 +83,7 @@ class SDPipeline:
         neg_prompt option, masactrl/model/sd_utils.py:74-77)."""
         p = len(prompts)
         ids = self._token_ids(list(prompts) + [negative_prompt] * p)
-        emb = self.text_encoder.apply(self.text_params, ids)["last_hidden_state"]
+        emb = self._text_forward(ids)["last_hidden_state"]
         cond, uncond = emb[:p], emb[p:]
         return jnp.concatenate([uncond, cond], axis=0)
 
@@ -84,8 +102,8 @@ class SDPipeline:
         def encode(texts):
             ids1 = self._token_ids(texts)
             ids2 = self._token_ids(texts, self.tokenizer_2 or self.tokenizer)
-            out1 = self.text_encoder.apply(self.text_params, ids1)
-            out2 = self.text_encoder_2.apply(self.text_params_2, ids2)
+            out1 = self._text_forward(ids1)
+            out2 = self._text_forward(ids2, second=True)
             ctx = jnp.concatenate(
                 [out1["penultimate"], out2["penultimate"]], axis=-1
             )
@@ -110,10 +128,8 @@ class SDPipeline:
         unconditional half is the *encoded* empty prompt, not zeros."""
         p = len(prompts)
         tok = self.tokenizer_2 or self.tokenizer
-        enc = self.text_encoder_2 or self.text_encoder
-        par = self.text_params_2 if self.text_encoder_2 is not None else self.text_params
         ids = self._token_ids(list(prompts) + [negative_prompt] * p, tok)
-        out = enc.apply(par, ids)
+        out = self._text_forward(ids, second=self.text_encoder_2 is not None)
         ctx, pooled = out["penultimate"], out["pooled"]
         context = jnp.concatenate([ctx[p:], ctx[:p]], axis=0)  # [uncond, cond]
         pooled = jnp.concatenate([pooled[p:], pooled[:p]], axis=0)
@@ -160,8 +176,14 @@ class SDPipeline:
         (p2p/inversion/ddim.py:35-41)."""
         if image.ndim == 3:
             image = image[None]
-        x = jnp.asarray(image, self.dtype) / 127.5 - 1.0
-        return self.vae.apply(self.vae_params, x, method=AutoencoderKL.encode)
+
+        def encode(p, img):
+            x = img.astype(self.dtype) / 127.5 - 1.0
+            return self.vae.apply(p, x, method=AutoencoderKL.encode)
+
+        return self._jitted("vae_encode", encode)(
+            self.vae_params, jnp.asarray(image)
+        )
 
     def latent2image(
         self, latents: jnp.ndarray, tile_latent: Optional[int] = None
@@ -171,16 +193,22 @@ class SDPipeline:
         ``tile_latent`` decodes in overlapping latent tiles of that size
         (models/vae.py:decode_tiled) — bounds decoder activation memory for
         XL-and-beyond resolutions."""
+        def to_uint8(img):
+            img = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(img * 255).astype(jnp.uint8)
+
         if tile_latent is not None:
             from image_editing_framework_tpu.models.vae import decode_tiled
 
             img = decode_tiled(self.vae, self.vae_params, latents, tile_latent)
-        else:
-            img = self.vae.apply(
-                self.vae_params, latents, method=AutoencoderKL.decode
+            return np.asarray(to_uint8(img))
+
+        def decode(p, z):
+            return to_uint8(
+                self.vae.apply(p, z, method=AutoencoderKL.decode)
             )
-        img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
-        return np.asarray(jnp.round(img * 255).astype(jnp.uint8))
+
+        return np.asarray(self._jitted("vae_decode", decode)(self.vae_params, latents))
 
     # ------------------------------------------------------------------ unet
 

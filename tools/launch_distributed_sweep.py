@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Multi-host PIE-Bench sweep launcher.
+
+Run the same command on every host of a TPU slice (or independent hosts);
+each process initializes the JAX distributed runtime, takes its shard of the
+700-image list (strided, balancing categories), and sweeps it. Outputs land
+in a shared --exp_path; resume-by-output makes relaunches idempotent.
+
+Single host, 4 shards on one machine (process-level parallelism is NOT
+useful on one chip — use --batch_size instead); the real use is one process
+per host:
+
+    # on every host of the slice:
+    python tools/launch_distributed_sweep.py --method p2p \
+        --dataset_path /data/PIE --exp_path /shared/test_exp \
+        --coordinator host0:8476 --num_processes 4 --process_id $HOST_ID
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser("distributed PIE-Bench sweep")
+    p.add_argument("--method", type=str, default="p2p")
+    p.add_argument("--sd_version", type=str, default="1.5")
+    p.add_argument("--dataset_path", type=str, required=True)
+    p.add_argument("--exp_path", type=str, required=True)
+    p.add_argument("--inversion_type", type=str, default="ddim")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    # multi-host bootstrap (omit all three for single-process)
+    p.add_argument("--coordinator", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    args = p.parse_args()
+
+    from image_editing_framework_tpu.parallel.mesh import initialize_distributed
+
+    proc = initialize_distributed(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    count = args.num_processes or 1
+
+    import jax.numpy as jnp
+
+    from image_editing_framework_tpu.eval.sweep import run_sweep
+    from image_editing_framework_tpu.models.registry import load_pipeline
+
+    pipe = load_pipeline(args.sd_version, dtype=jnp.bfloat16)
+    stats = run_sweep(
+        pipe, args.method, args.dataset_path, args.exp_path,
+        inversion_type=args.inversion_type, seed=args.seed,
+        shard_index=proc, shard_count=count, batch_size=args.batch_size,
+    )
+    print(f"[process {proc}/{count}] {stats}")
+
+
+if __name__ == "__main__":
+    main()
