@@ -122,9 +122,18 @@ def self_attention(
     if cp_mesh is not None:
         from image_editing_framework_tpu.parallel.ring_attention import (
             ring_self_attention,
+            ulysses_ring_attention,
             ulysses_self_attention,
         )
 
+        if cp_mode == "ulysses_ring":
+            head_axis, seq_axis = (
+                cp_axis if isinstance(cp_axis, (tuple, list)) else ("tensor", "data")
+            )
+            return ulysses_ring_attention(
+                q, k, v, cp_mesh, head_axis, seq_axis, bias=bias,
+                use_flash=use_flash,
+            )
         cp_fn = (
             ulysses_self_attention if cp_mode == "ulysses" else ring_self_attention
         )

@@ -209,6 +209,69 @@ def ring_self_attention(
     )(q, k, v, bias)
 
 
+def ulysses_ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    head_axis: str = "tensor",
+    seq_axis: str = "data",
+    sm_scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
+) -> jnp.ndarray:
+    """2D context parallelism: Ulysses over ``head_axis`` x ring over
+    ``seq_axis`` (the unified-sequence-parallel composition). The sequence
+    arrives sharded over BOTH axes (N / (hp*sp) tokens per chip, all heads);
+    an all_to_all over the head axis re-shards to (H/hp heads, N/sp tokens),
+    the ring covers the remaining sequence split, and the inverse all_to_all
+    restores the layout. Scales past what either axis supports alone:
+    Ulysses is capped at H chips, a long pure ring under-overlaps.
+
+    The head-axis all_to_all interleaves sequence chunks (strided order) —
+    harmless for attention (softmax is permutation-invariant over keys) as
+    long as the per-key bias gathers in the same order, which the matching
+    all_gather guarantees.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    hp = mesh.shape[head_axis]
+    sp = mesh.shape[seq_axis]
+    assert q.shape[1] % hp == 0, "needs heads % head-axis size == 0"
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+    ring_local = (
+        _make_ring_kernel_local(seq_axis, sp, sm_scale)
+        if use_flash
+        else _make_ring_xla_local(seq_axis, sp, sm_scale)
+    )
+
+    def local_fn(q_blk, k_blk, v_blk, bias_blk):
+        def seq_to_head(x):
+            return jax.lax.all_to_all(
+                x, head_axis, split_axis=1, concat_axis=2, tiled=True
+            )
+
+        def head_to_seq(x):
+            return jax.lax.all_to_all(
+                x, head_axis, split_axis=2, concat_axis=1, tiled=True
+            )
+
+        qh, kh, vh = seq_to_head(q_blk), seq_to_head(k_blk), seq_to_head(v_blk)
+        bh = jax.lax.all_gather(bias_blk, head_axis, axis=1, tiled=True)
+        out = ring_local(qh, kh, vh, bh)
+        return head_to_seq(out)
+
+    spec = P(None, None, (head_axis, seq_axis), None)
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(None, (head_axis, seq_axis))),
+        out_specs=spec,
+        check_vma=False,
+    )(q, k, v, bias)
+
+
 def ulysses_self_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -136,6 +136,64 @@ def test_ulysses_with_bias_and_grads(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-4)
 
 
+def test_ulysses_ring_2d_matches_full(mesh):
+    """2D CP: Ulysses over a 2-way head axis x ring over a 4-way seq axis."""
+    from image_editing_framework_tpu.parallel.ring_attention import (
+        ulysses_ring_attention,
+    )
+
+    mesh2d = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), axis_names=("tensor", "data")
+    )
+    b, h, n, d = 1, 4, 512, 32
+    q, k, v = _qkv(jax.random.PRNGKey(8), b, h, n, d)
+    out = ulysses_ring_attention(q, k, v, mesh2d, "tensor", "data")
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # with a per-key segment bias (the bias gathers in all_to_all chunk order)
+    bias = jnp.where(
+        (jnp.arange(n) % 64 < 48)[None, :], 0.0, NEG_INF
+    ).astype(jnp.float32)
+    bias = jnp.broadcast_to(bias, (b, n))
+    out_b = ulysses_ring_attention(q, k, v, mesh2d, "tensor", "data", bias=bias)
+    ref_b = _masked_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_ulysses_ring_2d_kernel_and_grads(mesh):
+    from image_editing_framework_tpu.parallel.ring_attention import (
+        ulysses_ring_attention,
+    )
+
+    mesh2d = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), axis_names=("tensor", "data")
+    )
+    b, h, n, d = 1, 2, 128, 16
+    q, k, v = _qkv(jax.random.PRNGKey(9), b, h, n, d)
+    out = ulysses_ring_attention(q, k, v, mesh2d, "tensor", "data", use_flash=True)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    tgt = jax.random.normal(jax.random.PRNGKey(10), q.shape)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum((fn(q, k, v) - tgt) ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g2d = loss(
+        lambda q, k, v: ulysses_ring_attention(
+            q, k, v, mesh2d, "tensor", "data", use_flash=True
+        )
+    )
+    gr = loss(lambda q, k, v: reference_attention(q, k, v))
+    for a, r in zip(g2d, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-3, rtol=5e-3)
+
+
 @pytest.mark.slow
 def test_unet_with_context_parallel_matches(mesh):
     """UNet with ring-attention CP == plain UNet (8-dev mesh, low threshold)."""
