@@ -34,14 +34,24 @@ from image_editing_framework_tpu.utils.images import load_image, save_img
 
 
 class EditService:
-    def __init__(self, pipe, root: str, resolution: Optional[int] = None):
+    """``max_batch`` > 1 groups compatible queued requests (same method /
+    inversion type, default hyperparameters, SD family) into ONE vmapped
+    program per poll — the eval/batched.py editors — so a bursty queue runs
+    at batched throughput instead of per-request latency."""
+
+    def __init__(
+        self, pipe, root: str, resolution: Optional[int] = None,
+        max_batch: int = 4,
+    ):
         self.pipe = pipe
         self.root = root
         self.res = resolution or (1024 if pipe.model_type == "xl" else 512)
+        self.max_batch = max_batch
         self.requests_dir = os.path.join(root, "requests")
         self.results_dir = os.path.join(root, "results")
         os.makedirs(self.requests_dir, exist_ok=True)
         os.makedirs(self.results_dir, exist_ok=True)
+        self.stats = {"handled": 0, "batched": 0}
 
     def handle(self, name: str, req: dict) -> dict:
         from image_editing_framework_tpu.cli import invert, run_method
@@ -82,9 +92,103 @@ class EditService:
             "latency_s": round(time.perf_counter() - t0, 3),
         }
 
+    # ------------------------------------------------------------- batching
+
+    def _batch_key(self, req: dict) -> Optional[tuple]:
+        """Grouping key for the vmapped editors, or None when the request
+        needs the serial path (XL pipes, custom hyperparameters, direct
+        inversion)."""
+        if self.pipe.model_type != "sd" or self.max_batch < 2:
+            return None
+        if req.get("method") not in ("p2p", "masactrl", "pnp", "p2z"):
+            return None
+        if req.get("method_kwargs"):
+            return None
+        inversion = req.get("inversion_type", "ddim")
+        if req.get("image_path") and inversion not in ("ddim", "null-text"):
+            return None
+        return (req["method"], bool(req.get("image_path")), inversion)
+
+    def handle_batch(self, names, reqs) -> dict:
+        """One vmapped program for a group of compatible requests."""
+        import numpy as np
+
+        from image_editing_framework_tpu.cli import GUIDANCE_SCALE, nti_config_for
+        from image_editing_framework_tpu.eval import batched
+        from image_editing_framework_tpu.eval.sweep import _auto_p2p_config
+
+        t0 = time.perf_counter()
+        method = reqs[0]["method"]
+        inversion = reqs[0].get("inversion_type", "ddim")
+        has_image = bool(reqs[0].get("image_path"))
+        pairs = [[r["source_prompt"], r["target_prompt"]] for r in reqs]
+        out_dirs = [os.path.join(self.results_dir, n) for n in names]
+        for d in out_dirs:
+            os.makedirs(d, exist_ok=True)
+
+        uncond_seqs = None
+        if has_image:
+            lats = []
+            for r, d in zip(reqs, out_dirs):
+                image = load_image(r["image_path"], self.res, self.res)
+                save_img(image, os.path.join(d, "source.png"))
+                lats.append(self.pipe.image2latent(image))
+            lats = jnp.stack(lats)
+            latents, trajs = batched.ddim_invert_batch(
+                self.pipe, lats, [p[0] for p in pairs], return_trajectory=True
+            )
+            if inversion == "null-text":
+                uncond_seqs = batched.nti_batch(
+                    self.pipe, trajs, [p[0] for p in pairs],
+                    nti_config_for(method, self.pipe),
+                    guidance_scale=GUIDANCE_SCALE,
+                )
+        else:
+            latents = jnp.stack([
+                jax.random.normal(
+                    jax.random.PRNGKey(int(r.get("seed", 42))),
+                    (1, self.res // 8, self.res // 8, 4),
+                    self.pipe.dtype,
+                )
+                for r in reqs
+            ])
+
+        if method == "p2p":
+            cfgs = [_auto_p2p_config(*pair) for pair in pairs]
+            imgs = batched.p2p_edit_batch(
+                self.pipe, pairs, latents, cfgs, uncond_seqs=uncond_seqs
+            )
+        elif method == "masactrl":
+            imgs = batched.masactrl_edit_batch(
+                self.pipe, pairs, latents, uncond_seqs=uncond_seqs
+            )
+        elif method == "pnp":
+            imgs = batched.pnp_edit_batch(
+                self.pipe, pairs, latents, uncond_seqs=uncond_seqs
+            )
+        else:  # p2z
+            imgs = batched.p2z_edit_batch(
+                self.pipe, pairs, latents, uncond_seqs=uncond_seqs
+            )
+
+        latency = round(time.perf_counter() - t0, 3)
+        responses = {}
+        for name, d, pair_imgs in zip(names, out_dirs, np.asarray(imgs)):
+            save_img(pair_imgs[0], os.path.join(d, "inversion.png"))
+            save_img(pair_imgs[1], os.path.join(d, "edit.png"))
+            responses[name] = {
+                "status": "ok",
+                "outputs": d,
+                "latency_s": latency,
+                "batched_with": len(names),
+            }
+        self.stats["batched"] += len(names)
+        return responses
+
     def poll_once(self) -> int:
-        """Process all pending requests; returns how many were handled."""
-        handled = 0
+        """Process all pending requests (compatible ones grouped into one
+        vmapped program, up to max_batch); returns how many were handled."""
+        pending = []
         for fname in sorted(os.listdir(self.requests_dir)):
             if not fname.endswith(".json"):
                 continue
@@ -93,20 +197,67 @@ class EditService:
             try:
                 with open(path) as f:
                     req = json.load(f)
-                resp = self.handle(name, req)
-            except Exception as e:  # report, never crash the worker
-                resp = {
-                    "status": "error",
-                    "error": f"{type(e).__name__}: {e}",
-                    "traceback": traceback.format_exc(),
-                }
-            out_dir = os.path.join(self.results_dir, name)
-            os.makedirs(out_dir, exist_ok=True)
-            with open(os.path.join(out_dir, "response.json"), "w") as f:
-                json.dump(resp, f, indent=2)
-            os.remove(path)
-            handled += 1
+            except Exception as e:
+                self._respond(name, {
+                    "status": "error", "error": f"{type(e).__name__}: {e}",
+                })
+                os.remove(path)
+                continue
+            pending.append((name, path, req))
+
+        # group compatible requests; None-keyed ones run serially
+        groups: dict = {}
+        order = []
+        for name, path, req in pending:
+            key = self._batch_key(req)
+            groups.setdefault(key, []).append((name, path, req))
+            if key not in order:
+                order.append(key)
+
+        handled = 0
+        for key in order:
+            items = groups[key]
+            while items:
+                chunk = items[: self.max_batch] if key is not None else items[:1]
+                items = items[len(chunk):]
+                names = [n for n, _, _ in chunk]
+                if key is not None and len(chunk) > 1:
+                    try:
+                        responses = self.handle_batch(
+                            names, [r for _, _, r in chunk]
+                        )
+                    except Exception as e:
+                        responses = {
+                            n: {
+                                "status": "error",
+                                "error": f"{type(e).__name__}: {e}",
+                                "traceback": traceback.format_exc(),
+                            }
+                            for n in names
+                        }
+                else:
+                    responses = {}
+                    for n, _, req in chunk:
+                        try:
+                            responses[n] = self.handle(n, req)
+                        except Exception as e:  # report, never crash
+                            responses[n] = {
+                                "status": "error",
+                                "error": f"{type(e).__name__}: {e}",
+                                "traceback": traceback.format_exc(),
+                            }
+                for n, path, _ in chunk:
+                    self._respond(n, responses[n])
+                    os.remove(path)
+                    handled += 1
+        self.stats["handled"] += handled
         return handled
+
+    def _respond(self, name: str, resp: dict) -> None:
+        out_dir = os.path.join(self.results_dir, name)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "response.json"), "w") as f:
+            json.dump(resp, f, indent=2)
 
     def run_forever(self, poll_interval: float = 0.5) -> None:  # pragma: no cover
         while True:

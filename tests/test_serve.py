@@ -61,3 +61,44 @@ def test_service_handles_requests(tmp_path):
 
     r3 = json.load(open(os.path.join(svc.results_dir, "job3", "response.json")))
     assert r3["status"] == "error" and "nope" in r3["error"]
+
+
+def test_service_batches_compatible_requests(tmp_path):
+    """Compatible queued requests run as ONE vmapped program."""
+    pipe = tiny_pipeline(num_steps=4)
+    svc = EditService(pipe, str(tmp_path), resolution=32, max_batch=4)
+
+    for i in range(3):
+        with open(os.path.join(svc.requests_dir, f"syn{i}.json"), "w") as f:
+            json.dump(
+                {
+                    "method": "p2p",
+                    "source_prompt": f"a cat sat {i}",
+                    "target_prompt": f"a dog sat {i}",
+                    "image_path": None,
+                    "seed": i,
+                },
+                f,
+            )
+    # different method, single member -> serial path in the same poll
+    with open(os.path.join(svc.requests_dir, "solo.json"), "w") as f:
+        json.dump(
+            {
+                "method": "masactrl",
+                "source_prompt": "a cat",
+                "target_prompt": "a standing cat",
+                "image_path": None,
+            },
+            f,
+        )
+
+    assert svc.poll_once() == 4
+    assert svc.stats["batched"] == 3
+    for i in range(3):
+        r = json.load(
+            open(os.path.join(svc.results_dir, f"syn{i}", "response.json"))
+        )
+        assert r["status"] == "ok" and r["batched_with"] == 3
+        assert os.path.exists(os.path.join(svc.results_dir, f"syn{i}", "edit.png"))
+    solo = json.load(open(os.path.join(svc.results_dir, "solo", "response.json")))
+    assert solo["status"] == "ok" and "batched_with" not in solo
