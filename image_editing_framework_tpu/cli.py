@@ -76,10 +76,11 @@ def _masactrl_cli_kwargs(args, pipe, method_kwargs: Optional[dict]) -> dict:
     step_idx = _int_list(getattr(args, "step_idx", None))
     layer_idx = _int_list(getattr(args, "layer_idx", None))
     if step_idx is not None or layer_idx is not None:
-        base = kw.get("config")
-        if base is None:
-            start_layer = 54 if pipe.model_type == "xl" else 10
-            base = cfgs.MasaCtrlConfig(start_step=4, start_layer=start_layer)
+        from image_editing_framework_tpu.methods.masactrl import (
+            default_masactrl_config,
+        )
+
+        base = kw.get("config") or default_masactrl_config(pipe)
         import dataclasses as _dc
 
         kw["config"] = _dc.replace(base, step_idx=step_idx, layer_idx=layer_idx)
@@ -108,15 +109,17 @@ def nti_config_for(method: str, pipe) -> cfgs.NTIConfig:
 
 
 def invert(pipe, image: np.ndarray, source_prompt: str, inversion_type: str,
-           method: str):
+           method: str, use_flash: bool = True):
     """Returns (start_latent, uncond_seq or None)."""
     latent = pipe.image2latent(image)
-    last, traj, context, _ = ddim_invert(pipe, latent, source_prompt)
+    last, traj, context, _ = ddim_invert(
+        pipe, latent, source_prompt, use_flash=use_flash
+    )
     uncond_seq = None
     if inversion_type == "null-text":
         uncond_seq = null_text_inversion(
             pipe, traj, context, nti_config_for(method, pipe),
-            guidance_scale=GUIDANCE_SCALE,
+            guidance_scale=GUIDANCE_SCALE, use_flash=use_flash,
         )
     elif inversion_type not in ("ddim", "direct"):
         raise ValueError("Please choose right inversion type")
@@ -147,10 +150,11 @@ def run_method(
         imgs = p2p_edit(pipe, prompts, latent, cfg, sampler, uncond_seq=uncond_seq, **kw)
         return imgs[0], imgs[1]
     if method == "masactrl":
-        cfg = kw.pop("config", None)
-        if cfg is None:
-            start_layer = 54 if pipe.model_type == "xl" else 10
-            cfg = cfgs.MasaCtrlConfig(start_step=4, start_layer=start_layer)
+        from image_editing_framework_tpu.methods.masactrl import (
+            default_masactrl_config,
+        )
+
+        cfg = kw.pop("config", None) or default_masactrl_config(pipe)
         imgs = masactrl_edit(
             pipe, prompts, latent, cfg, sampler, uncond_seq=uncond_seq, **kw
         )

@@ -114,13 +114,13 @@ def masactrl_edit_batch(
     """Edit G images with MasaCtrl in one program. The mutual-attention gate
     is prompt-independent (a (steps, layers) table), so ONE control broadcasts
     to the group. Returns (G, 2, H, W, 3) uint8 [reconstruction, edit]."""
-    from image_editing_framework_tpu.core.config import MasaCtrlConfig
+    from image_editing_framework_tpu.methods.masactrl import (
+        default_masactrl_config,
+    )
 
     g = len(prompt_pairs)
     s = pipe.scheduler.num_steps
-    if cfg is None:
-        start_layer = 54 if pipe.model_type == "xl" else 10
-        cfg = MasaCtrlConfig(start_step=4, start_layer=start_layer)
+    cfg = cfg or default_masactrl_config(pipe)
     ctrl = ctl.build_masactrl_control(
         s, pipe.unet.config.num_transformer_blocks, cfg
     )

@@ -114,141 +114,143 @@ def run_sweep(
                 "target_prompt": item.target_prompt,
             }) + "\n")
 
-    if batch_size > 1:
-        import jax.numpy as jnp
+    try:
+        if batch_size > 1:
+            import jax.numpy as jnp
 
-        from image_editing_framework_tpu.data.pie import save_inversion
-        from image_editing_framework_tpu.eval import batched
+            from image_editing_framework_tpu.data.pie import save_inversion
+            from image_editing_framework_tpu.eval import batched
 
-        groups = [
-            pending[g0 : g0 + batch_size]
-            for g0 in range(0, len(pending), batch_size)
-        ]
+            groups = [
+                pending[g0 : g0 + batch_size]
+                for g0 in range(0, len(pending), batch_size)
+            ]
 
-        def load_group(group):
-            return [load_image(it.image_path, res, res) for it in group]
+            def load_group(group):
+                return [load_image(it.image_path, res, res) for it in group]
 
-        # prefetch the next group's PNG decodes while the device computes
-        load_future = pool.submit(load_group, groups[0]) if groups else None
-        for gi_, group in enumerate(groups):
-            t0 = time.perf_counter()
-            images = load_future.result()
-            load_future = (
-                pool.submit(load_group, groups[gi_ + 1])
-                if gi_ + 1 < len(groups)
-                else None
-            )
-            lats = []
-            for item, image in zip(group, images):
-                os.makedirs(os.path.join(exp_path, item.key), exist_ok=True)
-                save_async(image, os.path.join(exp_path, item.key, "source.png"))
-                lats.append(pipe.image2latent(image))
-            lats = jnp.stack(lats)  # (G, 1, h, w, 4)
-            src_prompts = [it.source_prompt for it in group]
-            inverted, trajs = batched.ddim_invert_batch(
-                pipe, lats, src_prompts, return_trajectory=True
-            )
-            uncond_seqs = None
-            if inversion_type == "null-text":
-                from image_editing_framework_tpu.cli import (
-                    GUIDANCE_SCALE,
-                    nti_config_for,
+            # prefetch the next group's PNG decodes while the device computes
+            load_future = pool.submit(load_group, groups[0]) if groups else None
+            for gi_, group in enumerate(groups):
+                t0 = time.perf_counter()
+                images = load_future.result()
+                load_future = (
+                    pool.submit(load_group, groups[gi_ + 1])
+                    if gi_ + 1 < len(groups)
+                    else None
                 )
-
-                uncond_seqs = batched.nti_batch(
-                    pipe, trajs, src_prompts, nti_config_for(method, pipe),
-                    guidance_scale=GUIDANCE_SCALE,
+                lats = []
+                for item, image in zip(group, images):
+                    os.makedirs(os.path.join(exp_path, item.key), exist_ok=True)
+                    save_async(image, os.path.join(exp_path, item.key, "source.png"))
+                    lats.append(pipe.image2latent(image))
+                lats = jnp.stack(lats)  # (G, 1, h, w, 4)
+                src_prompts = [it.source_prompt for it in group]
+                inverted, trajs = batched.ddim_invert_batch(
+                    pipe, lats, src_prompts, return_trajectory=True
                 )
-            if save_inversions:
-                for gi, (item, latv) in enumerate(zip(group, inverted)):
-                    save_inversion(
-                        save_inversions, item.key, latv,
-                        None if uncond_seqs is None else uncond_seqs[gi],
+                uncond_seqs = None
+                if inversion_type == "null-text":
+                    from image_editing_framework_tpu.cli import (
+                        GUIDANCE_SCALE,
+                        nti_config_for,
                     )
-            pairs = [[it.source_prompt, it.target_prompt] for it in group]
-            mk_cfg = (method_kwargs or {}).get("config")
-            if method == "p2p":
-                cfgs = [
-                    mk_cfg
-                    or _auto_p2p_config(it.source_prompt, it.target_prompt)
-                    for it in group
-                ]
-                imgs = batched.p2p_edit_batch(
-                    pipe, pairs, inverted, cfgs, sampler.guidance_scale,
-                    uncond_seqs=uncond_seqs,
-                )
-            elif method == "masactrl":
-                imgs = batched.masactrl_edit_batch(
-                    pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
-                    uncond_seqs=uncond_seqs,
-                )
-            elif method == "pnp":
-                imgs = batched.pnp_edit_batch(
-                    pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
-                    uncond_seqs=uncond_seqs,
-                )
-            elif method == "p2z":
-                imgs = batched.p2z_edit_batch(
-                    pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
-                    uncond_seqs=uncond_seqs,
-                )
-            else:
-                raise ValueError(f"unknown method {method}")
-            tg = (time.perf_counter() - t0) / len(group)
-            for item, pair_imgs in zip(group, imgs):
-                finish(item, pair_imgs[0], pair_imgs[1], tg)
-            done += len(group)
-    else:
-        cache = None
-        if inversion_path is not None:
-            from image_editing_framework_tpu.data.pie import PIEPrecomputedInversion
 
-            cache = PIEPrecomputedInversion(dataset_path, inversion_path)
-            by_key = {it.key: it for it in cache.items}
-        load_future = (
-            pool.submit(load_image, pending[0].image_path, res, res)
-            if pending
-            else None
-        )
-        for idx_, item in enumerate(pending):
-            out_dir = os.path.join(exp_path, item.key)
-            os.makedirs(out_dir, exist_ok=True)
-            t0 = time.perf_counter()
-            image = load_future.result()
+                    uncond_seqs = batched.nti_batch(
+                        pipe, trajs, src_prompts, nti_config_for(method, pipe),
+                        guidance_scale=GUIDANCE_SCALE,
+                    )
+                if save_inversions:
+                    for gi, (item, latv) in enumerate(zip(group, inverted)):
+                        save_inversion(
+                            save_inversions, item.key, latv,
+                            None if uncond_seqs is None else uncond_seqs[gi],
+                        )
+                pairs = [[it.source_prompt, it.target_prompt] for it in group]
+                mk_cfg = (method_kwargs or {}).get("config")
+                if method == "p2p":
+                    cfgs = [
+                        mk_cfg
+                        or _auto_p2p_config(it.source_prompt, it.target_prompt)
+                        for it in group
+                    ]
+                    imgs = batched.p2p_edit_batch(
+                        pipe, pairs, inverted, cfgs, sampler.guidance_scale,
+                        uncond_seqs=uncond_seqs,
+                    )
+                elif method == "masactrl":
+                    imgs = batched.masactrl_edit_batch(
+                        pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
+                        uncond_seqs=uncond_seqs,
+                    )
+                elif method == "pnp":
+                    imgs = batched.pnp_edit_batch(
+                        pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
+                        uncond_seqs=uncond_seqs,
+                    )
+                elif method == "p2z":
+                    imgs = batched.p2z_edit_batch(
+                        pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
+                        uncond_seqs=uncond_seqs,
+                    )
+                else:
+                    raise ValueError(f"unknown method {method}")
+                tg = (time.perf_counter() - t0) / len(group)
+                for item, pair_imgs in zip(group, imgs):
+                    finish(item, pair_imgs[0], pair_imgs[1], tg)
+                done += len(group)
+        else:
+            cache = None
+            if inversion_path is not None:
+                from image_editing_framework_tpu.data.pie import PIEPrecomputedInversion
+
+                cache = PIEPrecomputedInversion(dataset_path, inversion_path)
+                by_key = {it.key: it for it in cache.items}
             load_future = (
-                pool.submit(load_image, pending[idx_ + 1].image_path, res, res)
-                if idx_ + 1 < len(pending)
+                pool.submit(load_image, pending[0].image_path, res, res)
+                if pending
                 else None
             )
-            save_async(image, os.path.join(out_dir, "source.png"))
-            if cache is not None:
-                import jax.numpy as jnp
-
-                lat_np, uncond_np = cache.load_inversion(by_key[item.key])
-                latent = jnp.asarray(lat_np, pipe.dtype)
-                uncond_seq = None if uncond_np is None else jnp.asarray(uncond_np)
-                traj = None
-            else:
-                latent, traj, uncond_seq = invert(
-                    pipe, image, item.source_prompt, inversion_type, method
+            for idx_, item in enumerate(pending):
+                out_dir = os.path.join(exp_path, item.key)
+                os.makedirs(out_dir, exist_ok=True)
+                t0 = time.perf_counter()
+                image = load_future.result()
+                load_future = (
+                    pool.submit(load_image, pending[idx_ + 1].image_path, res, res)
+                    if idx_ + 1 < len(pending)
+                    else None
                 )
-            if save_inversions:
-                from image_editing_framework_tpu.data.pie import save_inversion
+                save_async(image, os.path.join(out_dir, "source.png"))
+                if cache is not None:
+                    import jax.numpy as jnp
 
-                save_inversion(save_inversions, item.key, latent, uncond_seq)
-            kw = dict(method_kwargs or {})
-            if method == "p2p" and "config" not in kw:
-                kw["config"] = _auto_p2p_config(item.source_prompt, item.target_prompt)
-            replay = traj if inversion_type == "direct" else None
-            inv_img, edit_img = run_method(
-                method, pipe, [item.source_prompt, item.target_prompt], latent,
-                sampler, uncond_seq, kw, source_replay=replay,
-            )
-            finish(item, inv_img, edit_img, time.perf_counter() - t0)
-            done += 1
+                    lat_np, uncond_np = cache.load_inversion(by_key[item.key])
+                    latent = jnp.asarray(lat_np, pipe.dtype)
+                    uncond_seq = None if uncond_np is None else jnp.asarray(uncond_np)
+                    traj = None
+                else:
+                    latent, traj, uncond_seq = invert(
+                        pipe, image, item.source_prompt, inversion_type, method
+                    )
+                if save_inversions:
+                    from image_editing_framework_tpu.data.pie import save_inversion
+
+                    save_inversion(save_inversions, item.key, latent, uncond_seq)
+                kw = dict(method_kwargs or {})
+                if method == "p2p" and "config" not in kw:
+                    kw["config"] = _auto_p2p_config(item.source_prompt, item.target_prompt)
+                replay = traj if inversion_type == "direct" else None
+                inv_img, edit_img = run_method(
+                    method, pipe, [item.source_prompt, item.target_prompt], latent,
+                    sampler, uncond_seq, kw, source_replay=replay,
+                )
+                finish(item, inv_img, edit_img, time.perf_counter() - t0)
+                done += 1
+    finally:
+        pool.shutdown(wait=True)  # drain workers even on per-image failures
     for fut in save_futures:
-        fut.result()  # surface any IO errors before declaring success
-    pool.shutdown()
+        fut.result()  # surface IO errors before declaring success
     wall = time.perf_counter() - t_start
     stats = {
         "method": method,

@@ -98,7 +98,7 @@ def validate_pipeline(
         t0 = time.perf_counter()
         src_img, edit_img = run_method(
             method, pipe, [source_prompt, target_prompt], syn_latent, sampler,
-            method_kwargs=_default_kwargs(method, pipe),
+            method_kwargs=_default_kwargs(method, pipe, use_flash),
         )
         entry["syn_elapsed_s"] = round(time.perf_counter() - t0, 3)
         p_src = os.path.join(mdir, "syn_source.png")
@@ -112,16 +112,21 @@ def validate_pipeline(
 
         # --- edit_real flow (invert + edit), when an input image is given
         if source_image is not None:
-            if inv_cache is None:
+            # NTI lr schedules are method-dependent on XL (p2p 0.5/500 vs
+            # others 5e-2/100, cli.nti_config_for) — only share the inversion
+            # across methods when the schedule is identical.
+            share = inversion_type != "null-text" or pipe.model_type != "xl"
+            if inv_cache is None or not share:
                 latent, traj, uncond_seq = invert(
-                    pipe, source_image, source_prompt, inversion_type, method
+                    pipe, source_image, source_prompt, inversion_type, method,
+                    use_flash=use_flash,
                 )
                 inv_cache = (latent, traj, uncond_seq)
             latent, traj, uncond_seq = inv_cache
             t0 = time.perf_counter()
             inv_img, edit_img = run_method(
                 method, pipe, [source_prompt, target_prompt], latent, sampler,
-                uncond_seq, _default_kwargs(method, pipe),
+                uncond_seq, _default_kwargs(method, pipe, use_flash),
                 source_replay=traj if inversion_type == "direct" else None,
             )
             entry["real_elapsed_s"] = round(time.perf_counter() - t0, 3)
@@ -150,16 +155,15 @@ def validate_pipeline(
     return report
 
 
-def _default_kwargs(method: str, pipe) -> dict:
+def _default_kwargs(method: str, pipe, use_flash: bool) -> dict:
+    kw = {"use_flash": use_flash}
     if method == "masactrl":
-        from image_editing_framework_tpu.core.config import MasaCtrlConfig
+        from image_editing_framework_tpu.methods.masactrl import (
+            default_masactrl_config,
+        )
 
-        nblocks = pipe.unet.config.num_transformer_blocks
-        start_layer = 54 if pipe.model_type == "xl" else 10
-        if start_layer >= nblocks:  # tiny test configs
-            start_layer = max(0, nblocks - 2)
-        return {"config": MasaCtrlConfig(start_step=4, start_layer=start_layer)}
-    return {}
+        kw["config"] = default_masactrl_config(pipe)
+    return kw
 
 
 def _write_markdown(report: dict, path: str) -> None:

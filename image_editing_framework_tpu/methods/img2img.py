@@ -35,6 +35,7 @@ def img2img(
     guidance_scale: float = 7.5,
     seed: int = 0,
     aesthetic_score: float = 6.0,
+    negative_aesthetic_score: float = 2.5,
     use_flash: bool = True,
 ) -> np.ndarray:
     """Partial-denoise refinement of an existing image."""
@@ -53,8 +54,17 @@ def img2img(
         hh = latent.shape[1] * 8
         ww = latent.shape[2] * 8
         # pipe.add_time_ids emits the refiner's 5-id (orig, crop,
-        # aesthetic_score) layout when pipe.is_refiner, else the base 6-id one.
-        tids = pipe.add_time_ids(hh, ww, 2, aesthetic_score)
+        # aesthetic_score) layout when pipe.is_refiner, else the base 6-id
+        # one. The CFG batch is [uncond, cond]: the unconditional half gets
+        # negative_aesthetic_score (diffusers
+        # StableDiffusionXLImg2ImgPipeline._get_add_time_ids semantics with
+        # requires_aesthetics_score — defaults 6.0 / 2.5).
+        tids = jnp.concatenate(
+            [
+                pipe.add_time_ids(hh, ww, 1, negative_aesthetic_score),
+                pipe.add_time_ids(hh, ww, 1, aesthetic_score),
+            ]
+        )
         added_cond = {"text_embeds": added["text_embeds"], "time_ids": tids}
 
     def step(lat, i):

@@ -18,6 +18,18 @@ from image_editing_framework_tpu.methods.base import denoise
 from image_editing_framework_tpu.ops.controls import build_masactrl_control
 
 
+def default_masactrl_config(pipe) -> MasaCtrlConfig:
+    """STEP=4, LAYPER=10 for SD / 54 for SDXL (masactrl/edit_real.py:48-49,
+    :118), clamped to the model's transformer-block count so tiny test
+    architectures still gate some layers. The single source of truth for
+    the CLI, batched editors, service, and validation runway."""
+    nblocks = pipe.unet.config.num_transformer_blocks
+    start_layer = 54 if pipe.model_type == "xl" else 10
+    if start_layer >= nblocks:
+        start_layer = max(0, nblocks - 2)
+    return MasaCtrlConfig(start_step=4, start_layer=start_layer)
+
+
 def pca_direction(cond_embeddings: jnp.ndarray) -> jnp.ndarray:
     """Top principal direction of (emb[-2] - emb[-1]) over the token axis —
     the reference's ``kwds["dir"]`` feature (masactrl/model/sd_utils.py:56-59,

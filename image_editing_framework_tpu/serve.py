@@ -65,6 +65,15 @@ class EditService:
         out_dir = os.path.join(self.results_dir, name)
         os.makedirs(out_dir, exist_ok=True)
 
+        method_kwargs = dict(req.get("method_kwargs") or {})
+        if method == "p2p" and "config" not in method_kwargs:
+            # replace-vs-refine by word count (p2p/test.py:120-123) — the
+            # same default the batched path uses, so a request edits
+            # identically whether or not it was grouped
+            from image_editing_framework_tpu.eval.sweep import _auto_p2p_config
+
+            method_kwargs["config"] = _auto_p2p_config(*prompts)
+
         replay = uncond_seq = None
         if req.get("image_path"):
             image = load_image(req["image_path"], self.res, self.res)
@@ -82,7 +91,7 @@ class EditService:
             )
         inv_img, edit_img = run_method(
             method, self.pipe, prompts, latent, sampler, uncond_seq,
-            req.get("method_kwargs"), source_replay=replay,
+            method_kwargs, source_replay=replay,
         )
         save_img(inv_img, os.path.join(out_dir, "inversion.png"))
         save_img(edit_img, os.path.join(out_dir, "edit.png"))
@@ -104,10 +113,14 @@ class EditService:
             return None
         if req.get("method_kwargs"):
             return None
+        if not req.get("image_path"):
+            # synthesis requests never invert — don't split groups on a
+            # field the flow ignores
+            return (req["method"], False, "")
         inversion = req.get("inversion_type", "ddim")
-        if req.get("image_path") and inversion not in ("ddim", "null-text"):
+        if inversion not in ("ddim", "null-text"):
             return None
-        return (req["method"], bool(req.get("image_path")), inversion)
+        return (req["method"], True, inversion)
 
     def handle_batch(self, names, reqs) -> dict:
         """One vmapped program for a group of compatible requests."""
