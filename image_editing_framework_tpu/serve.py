@@ -15,7 +15,9 @@ Request schema:
    "image_path": str | null,        # null => synthesize from seed
    "inversion_type": "ddim" | "null-text" | "direct",   # default ddim
    "seed": int,                      # default 42
-   "method_kwargs": {...}}           # optional method overrides
+   "method_kwargs": {...}}           # optional method overrides; a "config"
+                                     # sub-dict maps onto the method's config
+                                     # dataclass (e.g. {"edit_type": "refine"})
 """
 
 from __future__ import annotations
@@ -31,6 +33,29 @@ import jax.numpy as jnp
 
 from image_editing_framework_tpu.core.config import SamplerConfig
 from image_editing_framework_tpu.utils.images import load_image, save_img
+
+
+def _parse_method_kwargs(method: str, raw) -> dict:
+    """JSON method_kwargs -> editor kwargs: a "config" sub-dict maps onto the
+    method's config dataclass (JSON lists become the tuples the frozen
+    dataclasses expect)."""
+    from image_editing_framework_tpu.core import config as cfgs
+
+    kw = dict(raw or {})
+    cfg = kw.get("config")
+    if isinstance(cfg, dict):
+        cls = {
+            "p2p": cfgs.P2PConfig,
+            "masactrl": cfgs.MasaCtrlConfig,
+            "pnp": cfgs.PnPConfig,
+            "p2z": cfgs.P2ZConfig,
+        }[method]
+
+        def tup(v):
+            return tuple(tup(x) for x in v) if isinstance(v, list) else v
+
+        kw["config"] = cls(**{k: tup(v) for k, v in cfg.items()})
+    return kw
 
 
 class EditService:
@@ -65,7 +90,7 @@ class EditService:
         out_dir = os.path.join(self.results_dir, name)
         os.makedirs(out_dir, exist_ok=True)
 
-        method_kwargs = dict(req.get("method_kwargs") or {})
+        method_kwargs = _parse_method_kwargs(method, req.get("method_kwargs"))
         if method == "p2p" and "config" not in method_kwargs:
             # replace-vs-refine by word count (p2p/test.py:120-123) — the
             # same default the batched path uses, so a request edits

@@ -102,3 +102,31 @@ def test_service_batches_compatible_requests(tmp_path):
         assert os.path.exists(os.path.join(svc.results_dir, f"syn{i}", "edit.png"))
     solo = json.load(open(os.path.join(svc.results_dir, "solo", "response.json")))
     assert solo["status"] == "ok" and "batched_with" not in solo
+
+
+def test_service_parses_config_dict(tmp_path):
+    """A JSON "config" sub-dict maps onto the method's config dataclass."""
+    pipe = tiny_pipeline(num_steps=4)
+    svc = EditService(pipe, str(tmp_path), resolution=32)
+    with open(os.path.join(svc.requests_dir, "cfg.json"), "w") as f:
+        json.dump(
+            {
+                "method": "p2p",
+                "source_prompt": "a cat",
+                "target_prompt": "a big cat",
+                "image_path": None,
+                "method_kwargs": {
+                    "config": {
+                        "edit_type": "refine",
+                        "cross_replace_steps": 0.7,
+                        "eq_words": ["big"],
+                        "eq_values": [2.0],
+                    }
+                },
+            },
+            f,
+        )
+    assert svc.poll_once() == 1
+    r = json.load(open(os.path.join(svc.results_dir, "cfg", "response.json")))
+    assert r["status"] == "ok", r
+    assert os.path.exists(os.path.join(svc.results_dir, "cfg", "edit.png"))
