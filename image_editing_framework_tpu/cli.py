@@ -11,6 +11,7 @@ Flag names and defaults mirror the reference (p2p/edit_real.py:19-27);
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 from typing import Optional
@@ -81,9 +82,9 @@ def _masactrl_cli_kwargs(args, pipe, method_kwargs: Optional[dict]) -> dict:
         )
 
         base = kw.get("config") or default_masactrl_config(pipe)
-        import dataclasses as _dc
-
-        kw["config"] = _dc.replace(base, step_idx=step_idx, layer_idx=layer_idx)
+        kw["config"] = dataclasses.replace(
+            base, step_idx=step_idx, layer_idx=layer_idx
+        )
     return kw
 
 

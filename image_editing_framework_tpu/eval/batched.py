@@ -98,8 +98,29 @@ def p2p_edit_batch(
         jnp.asarray(guidance_scale, latents.dtype), uncond_seqs, use_flash,
         uncond_seqs is not None,
     )
+    return _decode_pairs(pipe, final, g)
+
+
+def _decode_pairs(pipe, final: jnp.ndarray, g: int):
+    """(G, 2, h, w, 4) latents -> (G, 2, H, W, 3) uint8 in one decode."""
     imgs = pipe.latent2image(final.reshape((g * 2,) + final.shape[2:]))
     return imgs.reshape((g, 2) + imgs.shape[1:])
+
+
+def _broadcast_ctrl_edit(
+    pipe, prompt_pairs, latents, ctrl, guidance_scale, uncond_seqs, use_flash
+):
+    """Shared body for editors whose control is prompt-independent (one
+    control pytree broadcasts to the whole group)."""
+    g = len(prompt_pairs)
+    contexts = _encode_pairs_sd(pipe, prompt_pairs)
+    lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
+    final = _batched_edit(
+        pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrl,
+        jnp.asarray(guidance_scale, latents.dtype), uncond_seqs, use_flash,
+        uncond_seqs is not None, ctrl_stacked=False,
+    )
+    return _decode_pairs(pipe, final, g)
 
 
 def masactrl_edit_batch(
@@ -118,21 +139,13 @@ def masactrl_edit_batch(
         default_masactrl_config,
     )
 
-    g = len(prompt_pairs)
-    s = pipe.scheduler.num_steps
     cfg = cfg or default_masactrl_config(pipe)
     ctrl = ctl.build_masactrl_control(
-        s, pipe.unet.config.num_transformer_blocks, cfg
+        pipe.scheduler.num_steps, pipe.unet.config.num_transformer_blocks, cfg
     )
-    contexts = _encode_pairs_sd(pipe, prompt_pairs)
-    lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
-    final = _batched_edit(
-        pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrl,
-        jnp.asarray(guidance_scale, latents.dtype), uncond_seqs, use_flash,
-        uncond_seqs is not None, ctrl_stacked=False,
+    return _broadcast_ctrl_edit(
+        pipe, prompt_pairs, latents, ctrl, guidance_scale, uncond_seqs, use_flash
     )
-    imgs = pipe.latent2image(final.reshape((g * 2,) + final.shape[2:]))
-    return imgs.reshape((g, 2) + imgs.shape[1:])
 
 
 def pnp_edit_batch(
@@ -149,23 +162,17 @@ def pnp_edit_batch(
     from image_editing_framework_tpu.core.config import PnPConfig
     from image_editing_framework_tpu.models import configs as model_configs
 
-    g = len(prompt_pairs)
-    s = pipe.scheduler.num_steps
     cfg = cfg or PnPConfig()
     if pipe.model_type == "xl":
         attn_layers, conv_keys = model_configs.pnp_sites_xl(pipe.unet.config)
     else:
         attn_layers, conv_keys = model_configs.pnp_sites_sd(pipe.unet.config)
-    ctrl = ctl.build_pnp_control(s, cfg, attn_layers, conv_keys)
-    contexts = _encode_pairs_sd(pipe, prompt_pairs)
-    lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
-    final = _batched_edit(
-        pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrl,
-        jnp.asarray(guidance_scale, latents.dtype), uncond_seqs, use_flash,
-        uncond_seqs is not None, ctrl_stacked=False,
+    ctrl = ctl.build_pnp_control(
+        pipe.scheduler.num_steps, cfg, attn_layers, conv_keys
     )
-    imgs = pipe.latent2image(final.reshape((g * 2,) + final.shape[2:]))
-    return imgs.reshape((g, 2) + imgs.shape[1:])
+    return _broadcast_ctrl_edit(
+        pipe, prompt_pairs, latents, ctrl, guidance_scale, uncond_seqs, use_flash
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("unet", "use_flash", "has_nti"))
@@ -219,8 +226,43 @@ def p2z_edit_batch(
         use_flash, uncond_seqs is not None,
     )
     both = jnp.concatenate([final_src, final_tgt], axis=1)  # (G, 2, h, w, 4)
-    imgs = pipe.latent2image(both.reshape((g * 2,) + both.shape[2:]))
-    return imgs.reshape((g, 2) + imgs.shape[1:])
+    return _decode_pairs(pipe, both, g)
+
+
+def edit_batch(
+    method: str,
+    pipe,
+    prompt_pairs,
+    latents,
+    cfg=None,
+    guidance_scale: float = 7.5,
+    uncond_seqs=None,
+    use_flash: bool = True,
+):
+    """Dispatch a batched edit for any of the four methods (the single
+    method->editor mapping shared by the sweep driver and the service).
+    ``cfg`` is the method config; for p2p it may be a per-image list."""
+    if method == "p2p":
+        cfgs = (
+            list(cfg)
+            if isinstance(cfg, (list, tuple))
+            else None if cfg is None else [cfg] * len(prompt_pairs)
+        )
+        return p2p_edit_batch(
+            pipe, prompt_pairs, latents, cfgs, guidance_scale,
+            uncond_seqs=uncond_seqs, use_flash=use_flash,
+        )
+    fn = {
+        "masactrl": masactrl_edit_batch,
+        "pnp": pnp_edit_batch,
+        "p2z": p2z_edit_batch,
+    }.get(method)
+    if fn is None:
+        raise ValueError(f"unknown method {method}")
+    return fn(
+        pipe, prompt_pairs, latents, cfg, guidance_scale,
+        uncond_seqs=uncond_seqs, use_flash=use_flash,
+    )
 
 
 def ddim_invert_batch(

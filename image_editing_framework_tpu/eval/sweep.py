@@ -169,32 +169,15 @@ def run_sweep(
                 pairs = [[it.source_prompt, it.target_prompt] for it in group]
                 mk_cfg = (method_kwargs or {}).get("config")
                 if method == "p2p":
-                    cfgs = [
+                    mk_cfg = [
                         mk_cfg
                         or _auto_p2p_config(it.source_prompt, it.target_prompt)
                         for it in group
                     ]
-                    imgs = batched.p2p_edit_batch(
-                        pipe, pairs, inverted, cfgs, sampler.guidance_scale,
-                        uncond_seqs=uncond_seqs,
-                    )
-                elif method == "masactrl":
-                    imgs = batched.masactrl_edit_batch(
-                        pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
-                        uncond_seqs=uncond_seqs,
-                    )
-                elif method == "pnp":
-                    imgs = batched.pnp_edit_batch(
-                        pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
-                        uncond_seqs=uncond_seqs,
-                    )
-                elif method == "p2z":
-                    imgs = batched.p2z_edit_batch(
-                        pipe, pairs, inverted, mk_cfg, sampler.guidance_scale,
-                        uncond_seqs=uncond_seqs,
-                    )
-                else:
-                    raise ValueError(f"unknown method {method}")
+                imgs = batched.edit_batch(
+                    method, pipe, pairs, inverted, mk_cfg,
+                    sampler.guidance_scale, uncond_seqs=uncond_seqs,
+                )
                 tg = (time.perf_counter() - t0) / len(group)
                 for item, pair_imgs in zip(group, imgs):
                     finish(item, pair_imgs[0], pair_imgs[1], tg)

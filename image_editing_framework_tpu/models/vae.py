@@ -185,42 +185,40 @@ def decode_tiled(
     stride = tile - overlap
     rows = max(1, -(-(h - overlap) // stride))
     cols = max(1, -(-(w - overlap) // stride))
+    # probe the decoder's upsampling factor cheaply from a zero tile shape
+    scale = jax.eval_shape(
+        lambda zt: vae.apply(params, zt, method=AutoencoderKL.decode),
+        jax.ShapeDtypeStruct((b, tile, tile, c), z.dtype),
+    ).shape[1] // tile
+    out_tile = tile * scale
+    out_ov = overlap * scale
+    img_h, img_w = h * scale, w * scale
 
-    decoded = []
+    ramp1d = jnp.arange(1, out_ov + 1, dtype=jnp.float32) / (out_ov + 1)
+
+    def edge_weights(t0, full):
+        wgt = jnp.ones((out_tile,), jnp.float32)
+        if t0 > 0:
+            wgt = wgt.at[:out_ov].set(ramp1d)
+        if t0 + out_tile < full:
+            wgt = wgt.at[-out_ov:].set(ramp1d[::-1])
+        return wgt
+
+    # decode AND accumulate tile by tile so only one decoded tile is live at
+    # a time (keeping the whole grid would approach full-image memory again)
+    canvas = jnp.zeros((b, img_h, img_w, 3), z.dtype)
+    weight = jnp.zeros((1, img_h, img_w, 1), jnp.float32)
     for r in range(rows):
-        row_tiles = []
         y = min(r * stride, h - tile)
         for cidx in range(cols):
             x = min(cidx * stride, w - tile)
             zt = jax.lax.dynamic_slice(z, (0, y, x, 0), (b, tile, tile, c))
-            row_tiles.append(
-                (x, vae.apply(params, zt, method=AutoencoderKL.decode))
-            )
-        decoded.append((y, row_tiles))
-
-    scale = decoded[0][1][0][1].shape[1] // tile
-    out_tile = tile * scale
-    out_ov = overlap * scale
-
-    # blend columns within each row, then blend rows
-    img_h, img_w = h * scale, w * scale
-    canvas = jnp.zeros((b, img_h, img_w, 3), decoded[0][1][0][1].dtype)
-    weight = jnp.zeros((1, img_h, img_w, 1), jnp.float32)
-    ramp1d = jnp.arange(1, out_ov + 1, dtype=jnp.float32) / (out_ov + 1)
-    for (y, row_tiles) in decoded:
-        for (x, timg) in row_tiles:
+            timg = vae.apply(params, zt, method=AutoencoderKL.decode)
             ty, tx = y * scale, x * scale
-            wv = jnp.ones((out_tile,), jnp.float32)
-            if ty > 0:
-                wv = wv.at[:out_ov].set(ramp1d)
-            if ty + out_tile < img_h:
-                wv = wv.at[-out_ov:].set(ramp1d[::-1])
-            wh = jnp.ones((out_tile,), jnp.float32)
-            if tx > 0:
-                wh = wh.at[:out_ov].set(ramp1d)
-            if tx + out_tile < img_w:
-                wh = wh.at[-out_ov:].set(ramp1d[::-1])
-            wt = (wv[:, None] * wh[None, :])[None, :, :, None]
+            wt = (
+                edge_weights(ty, img_h)[:, None]
+                * edge_weights(tx, img_w)[None, :]
+            )[None, :, :, None]
             canvas = jax.lax.dynamic_update_slice(
                 canvas,
                 jax.lax.dynamic_slice(

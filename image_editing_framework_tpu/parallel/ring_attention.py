@@ -76,6 +76,25 @@ def _merge(o1, lse1, o2, lse2):
     return o, m + jnp.log(den)
 
 
+def _ring_forward(local_attn, rot, n_dev, q, k, v, bias):
+    """The shared forward rotation loop: local block attention, K/V (+bias)
+    ppermute, log-sum-exp merge. ``local_attn(q, k, v, bias) -> (out, lse)``
+    is the kernel or XLA local step."""
+    out, lse = local_attn(q, k, v, bias)
+
+    def body(_, carry):
+        out, lse, kb, vb, bb = carry
+        kb, vb, bb = rot(kb), rot(vb), rot(bb)
+        o_i, lse_i = local_attn(q, kb, vb, bb)
+        out, lse = _merge(out, lse, o_i, lse_i)
+        return out, lse, kb, vb, bb
+
+    out, lse, _, _, _ = jax.lax.fori_loop(
+        0, n_dev - 1, body, (out, lse, k, v, bias)
+    )
+    return out, lse
+
+
 def _make_ring_kernel_local(axis_name: str, n_dev: int, sm_scale: float):
     """Per-chip ring step with the Pallas kernel + exact ring VJP.
 
@@ -91,24 +110,13 @@ def _make_ring_kernel_local(axis_name: str, n_dev: int, sm_scale: float):
     def rot(x):
         return jax.lax.ppermute(x, axis_name, perm)
 
-    def fwd_core(q, k, v, bias):
-        out, lse = flash_attention_fwd_lse(
+    def local_attn(q, k, v, bias):
+        return flash_attention_fwd_lse(
             q, k, v, bias, sm_scale, block_q=BQ, block_k=BK
         )
 
-        def body(_, carry):
-            out, lse, kb, vb, bb = carry
-            kb, vb, bb = rot(kb), rot(vb), rot(bb)
-            o_i, lse_i = flash_attention_fwd_lse(
-                q, kb, vb, bb, sm_scale, block_q=BQ, block_k=BK
-            )
-            out, lse = _merge(out, lse, o_i, lse_i)
-            return out, lse, kb, vb, bb
-
-        out, lse, _, _, _ = jax.lax.fori_loop(
-            0, n_dev - 1, body, (out, lse, k, v, bias)
-        )
-        return out, lse
+    def fwd_core(q, k, v, bias):
+        return _ring_forward(local_attn, rot, n_dev, q, k, v, bias)
 
     @jax.custom_vjp
     def ring(q, k, v, bias):
@@ -151,22 +159,14 @@ def _make_ring_xla_local(axis_name: str, n_dev: int, sm_scale: float):
     """Per-chip ring step with explicit XLA attention (CPU meshes)."""
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
+    def rot(x):
+        return jax.lax.ppermute(x, axis_name, perm)
+
+    def local_attn(q, k, v, bias):
+        return _attention_with_lse(q, k, v, sm_scale, bias)
+
     def local_fn(q, k, v, bias):
-        out, lse = _attention_with_lse(q, k, v, sm_scale, bias)
-
-        def body(_, carry):
-            out, lse, kb, vb, bb = carry
-            kb = jax.lax.ppermute(kb, axis_name, perm)
-            vb = jax.lax.ppermute(vb, axis_name, perm)
-            bb = jax.lax.ppermute(bb, axis_name, perm)
-            o_i, lse_i = _attention_with_lse(q, kb, vb, sm_scale, bb)
-            out, lse = _merge(out, lse, o_i, lse_i)
-            return out, lse, kb, vb, bb
-
-        out, lse, _, _, _ = jax.lax.fori_loop(
-            0, n_dev - 1, body, (out, lse, k, v, bias)
-        )
-        return out
+        return _ring_forward(local_attn, rot, n_dev, q, k, v, bias)[0]
 
     return local_fn
 

@@ -191,23 +191,14 @@ class EditService:
                 for r in reqs
             ])
 
-        if method == "p2p":
-            cfgs = [_auto_p2p_config(*pair) for pair in pairs]
-            imgs = batched.p2p_edit_batch(
-                self.pipe, pairs, latents, cfgs, uncond_seqs=uncond_seqs
-            )
-        elif method == "masactrl":
-            imgs = batched.masactrl_edit_batch(
-                self.pipe, pairs, latents, uncond_seqs=uncond_seqs
-            )
-        elif method == "pnp":
-            imgs = batched.pnp_edit_batch(
-                self.pipe, pairs, latents, uncond_seqs=uncond_seqs
-            )
-        else:  # p2z
-            imgs = batched.p2z_edit_batch(
-                self.pipe, pairs, latents, uncond_seqs=uncond_seqs
-            )
+        cfg = (
+            [_auto_p2p_config(*pair) for pair in pairs]
+            if method == "p2p"
+            else None
+        )
+        imgs = batched.edit_batch(
+            method, self.pipe, pairs, latents, cfg, uncond_seqs=uncond_seqs
+        )
 
         latency = round(time.perf_counter() - t0, 3)
         responses = {}
@@ -244,17 +235,13 @@ class EditService:
             pending.append((name, path, req))
 
         # group compatible requests; None-keyed ones run serially
+        # (dict preserves first-seen key order)
         groups: dict = {}
-        order = []
         for name, path, req in pending:
-            key = self._batch_key(req)
-            groups.setdefault(key, []).append((name, path, req))
-            if key not in order:
-                order.append(key)
+            groups.setdefault(self._batch_key(req), []).append((name, path, req))
 
         handled = 0
-        for key in order:
-            items = groups[key]
+        for key, items in groups.items():
             while items:
                 chunk = items[: self.max_batch] if key is not None else items[:1]
                 items = items[len(chunk):]
