@@ -11,8 +11,16 @@ target: full PIE-Bench (700 images) under 10 min on a v4-8, i.e.
 600s * 8 chips / 700 images = 6.857 s per image per chip.
 vs_baseline = target_latency / measured  (>1 means beating the target).
 
-Prints ONE JSON line. Set IEF_BENCH=xl for the SDXL 1024^2 workload
-(informational; the default SD1.5 metric is the tracked one).
+Prints ONE JSON line. Set IEF_BENCH=xl for the SDXL 1024^2 workload or
+IEF_BENCH=nti for the null-text-inversion flow (both informational; the
+default SD1.5 metric is the tracked one).
+
+IEF_BENCH=nti measures the reference's canonical real-image P2P flow with
+null-text inversion (p2p/edit_real.py:54-55 + p2p/inversion/nti.py): 50-step
+DDIM inversion + NTI (epsilon=0 so every step runs the full 10 inner Adam
+iterations — the reference's <=10x50 fwd+bwd cost envelope, BASELINE.md; real
+runs early-stop below this) + 50-step edit with per-step optimized uncond +
+decode.
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ def main() -> None:
     from image_editing_framework_tpu.core.config import P2PConfig
     from image_editing_framework_tpu.core.scheduler import make_ddim_schedule
     from image_editing_framework_tpu.inversion.ddim import _invert_scan
+    from image_editing_framework_tpu.inversion.nti import _nti_scan
     from image_editing_framework_tpu.methods.base import _denoise_scan, LocalBlend
     from image_editing_framework_tpu.models import configs
     from image_editing_framework_tpu.models.tokenizer import WordTokenizer
@@ -48,10 +57,16 @@ def main() -> None:
     use_flash = jax.default_backend() == "tpu"
     sched = make_ddim_schedule(50)
 
-    is_xl = os.environ.get("IEF_BENCH") == "xl"
+    mode = os.environ.get("IEF_BENCH", "")
+    is_xl = mode == "xl"
+    is_nti = mode == "nti"
     if is_xl:
         unet_cfg, side, ctx_dim, metric = (
             configs.SDXL_UNET, 128, 2048, "p2p_real_edit_latency_sdxl_1024"
+        )
+    elif is_nti:
+        unet_cfg, side, ctx_dim, metric = (
+            configs.SD15_UNET, 64, 768, "p2p_nti_edit_latency_sd15_512"
         )
     else:
         unet_cfg, side, ctx_dim, metric = (
@@ -86,13 +101,25 @@ def main() -> None:
     latent = jax.random.normal(jax.random.PRNGKey(2), (1, side, side, 4), dtype)
     cond = jax.random.normal(jax.random.PRNGKey(3), (1, 77, ctx_dim), dtype)
     context = jax.random.normal(jax.random.PRNGKey(4), (4, 77, ctx_dim), dtype)
+    uncond0 = jax.random.normal(jax.random.PRNGKey(5), (1, 77, ctx_dim), dtype)
 
     def run_once():
-        last, _ = _invert_scan(unet, params, sched, latent, cond, added1, use_flash)
+        last, traj = _invert_scan(unet, params, sched, latent, cond, added1, use_flash)
+        uncond_seq = None
+        if is_nti:
+            # epsilon=0: never early-stop, measuring the reference's full
+            # <=10 inner Adam iterations x 50 steps cost envelope.
+            uncond_seq = _nti_scan(
+                unet, params, sched, traj,
+                cond.astype(jnp.float32), uncond0.astype(jnp.float32),
+                jnp.asarray(7.5, jnp.float32), jnp.asarray(1e-2, jnp.float32),
+                jnp.asarray(100.0, jnp.float32), jnp.asarray(0.0, jnp.float32),
+                added1, 10, False, use_flash,
+            )
         lat2 = jnp.broadcast_to(last, (2, side, side, 4))
         final, _ = _denoise_scan(
             unet, params, sched, lat2, context, ctrl,
-            jnp.asarray(7.5, dtype), added4, None,
+            jnp.asarray(7.5, dtype), added4, uncond_seq,
             LocalBlend(jnp.zeros((1, 77))), None,
             use_flash, False, False, None,
         )
@@ -110,7 +137,12 @@ def main() -> None:
     # edit fetches the image to save it anyway).
     np.asarray(run_once())
 
-    n = 3
+    phase_desc = (
+        "50-step inversion + NTI 10x50 Adam envelope + 50-step edit + decode"
+        if is_nti
+        else "50-step inversion + 50-step edit + decode"
+    )
+    n = 1 if is_nti else 3  # the NTI envelope run is ~10x longer per image
     t0 = time.perf_counter()
     for _ in range(n):
         img = np.asarray(run_once())
@@ -148,7 +180,7 @@ def main() -> None:
             {
                 "metric": metric,
                 "value": round(per_image, 4),
-                "unit": "s/image (50-step inversion + 50-step edit + decode, 1 chip)",
+                "unit": f"s/image ({phase_desc}, 1 chip)",
                 "vs_baseline": round(TARGET_S_PER_IMAGE_PER_CHIP / per_image, 3),
             }
         )

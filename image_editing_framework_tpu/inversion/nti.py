@@ -51,6 +51,15 @@ def _nti_scan(
     use_flash: bool,
 ):
     s = sched.num_steps
+    # NTI optimizes in float32 regardless of the pipeline compute dtype (the
+    # reference optimizes a float32 embedding against float32 latents):
+    # promote the embeddings AND the latent trajectory here so the
+    # while_loop/scan carries have stable dtypes — the f32 CFG mix below
+    # would otherwise promote a bf16 latent carry mid-scan. The UNet casts
+    # its inputs to its own compute dtype internally.
+    uncond0 = uncond0.astype(jnp.float32)
+    cond_emb = cond_emb.astype(jnp.float32)
+    trajectory = trajectory.astype(jnp.float32)
 
     def unet_eps(lat, t, ctx, flash):
         eps, _ = unet.apply(unet_params, lat, t, ctx, None, added_cond, flash)

@@ -44,6 +44,7 @@ def test_edit_real_cli_ddim(tiny_env):
         assert os.path.exists(os.path.join("exp", f))
 
 
+@pytest.mark.slow
 def test_edit_real_cli_direct_inversion(tiny_env):
     img = Image.fromarray(
         np.random.RandomState(1).randint(0, 255, (32, 32, 3), np.uint8)
@@ -92,6 +93,7 @@ def test_run_method_p2z(tiny_env):
     assert inv.shape == (32, 32, 3) and edit.shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_img2img_sd(tiny_env):
     pipe, _ = tiny_env
     from image_editing_framework_tpu.methods.img2img import img2img

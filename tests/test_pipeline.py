@@ -96,6 +96,25 @@ def test_nti_improves_cfg_reconstruction(pipe):
     assert err_nti < err_base, (err_nti, err_base)
 
 
+@pytest.mark.slow
+def test_nti_accepts_bf16_inputs(pipe):
+    """Production SD pipelines run bf16; NTI's f32 CFG mix must not leak a
+    dtype mismatch into the scan/while carries (regression: bf16 trajectory
+    crashed _nti_scan with a carry-type error)."""
+    lat = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4)) * 0.1
+    last, traj, context, _ = ddim_invert(pipe, lat, "a cat")
+    uncond_seq = null_text_inversion(
+        pipe,
+        traj.astype(jnp.bfloat16),
+        context.astype(jnp.bfloat16),
+        NTIConfig(num_inner_steps=2),
+        guidance_scale=7.5,
+    )
+    assert uncond_seq.dtype == jnp.float32
+    assert uncond_seq.shape == (4, 77, context.shape[-1])
+    assert bool(jnp.isfinite(uncond_seq).all())
+
+
 def test_p2p_edit_runs(pipe50):
     lat = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 4))
     img = p2p_edit(
@@ -178,6 +197,7 @@ def test_direct_inversion_improves_cfg_reconstruction(pipe):
     assert err_replay < err_plain, (err_replay, err_plain)
 
 
+@pytest.mark.slow
 def test_edit_determinism(pipe):
     """Same seed + inputs -> bitwise-identical edit outputs (no hidden
     nondeterminism in kernels or scan plumbing)."""

@@ -123,6 +123,7 @@ def fake_ckpts(tmp_path_factory):
     return base_dir, ref_dir, base_spec, ref_spec
 
 
+@pytest.mark.slow
 def test_load_pipeline_xl_refiner(fake_ckpts):
     base_dir, ref_dir, base_spec, ref_spec = fake_ckpts
     pipe = load_pipeline(

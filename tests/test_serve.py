@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from image_editing_framework_tpu.pipelines import tiny_pipeline
@@ -63,6 +64,7 @@ def test_service_handles_requests(tmp_path):
     assert r3["status"] == "error" and "nope" in r3["error"]
 
 
+@pytest.mark.slow
 def test_service_batches_compatible_requests(tmp_path):
     """Compatible queued requests run as ONE vmapped program."""
     pipe = tiny_pipeline(num_steps=4)
