@@ -113,14 +113,15 @@ def invert(pipe, image: np.ndarray, source_prompt: str, inversion_type: str,
            method: str, use_flash: bool = True):
     """Returns (start_latent, uncond_seq or None)."""
     latent = pipe.image2latent(image)
-    last, traj, context, _ = ddim_invert(
+    last, traj, context, added_cond = ddim_invert(
         pipe, latent, source_prompt, use_flash=use_flash
     )
     uncond_seq = None
     if inversion_type == "null-text":
         uncond_seq = null_text_inversion(
             pipe, traj, context, nti_config_for(method, pipe),
-            guidance_scale=GUIDANCE_SCALE, use_flash=use_flash,
+            guidance_scale=GUIDANCE_SCALE, added_cond=added_cond,
+            use_flash=use_flash,
         )
     elif inversion_type not in ("ddim", "direct"):
         raise ValueError("Please choose right inversion type")

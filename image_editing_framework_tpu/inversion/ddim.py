@@ -52,6 +52,10 @@ def ddim_invert(
     Returns (final_noised_latent, trajectory (S+1,B,...), context (2,77,D),
     added_cond) — the context includes the uncond half for downstream NTI,
     mirroring the reference's get_context (p2p/inversion/ddim.py:43-57).
+    ``added_cond`` is the batch-1 conditioning dict the inversion itself used
+    (text_embeds + time_ids for XL, None for SD) so callers can hand it
+    straight to null_text_inversion (the reference's NTI_XL added_cond_kwargs,
+    masactrl/inversion/nti.py:55-66).
     """
     context, added = pipe.encode_prompts([prompt])
     cond = context[1:]  # (1, 77, D)
@@ -65,4 +69,4 @@ def ddim_invert(
     last, traj = _invert_scan(
         pipe.unet, pipe.unet_params, pipe.scheduler, latent, cond, added_cond, use_flash
     )
-    return last, traj, context, added
+    return last, traj, context, added_cond

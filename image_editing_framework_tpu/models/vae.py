@@ -182,6 +182,9 @@ def decode_tiled(
     b, h, w, c = z.shape
     if h <= tile and w <= tile:
         return vae.apply(params, z, method=AutoencoderKL.decode)
+    # Small tiles with the default overlap would give a non-positive stride
+    # (and out-of-range ramp writes); cap the overlap at half the tile.
+    overlap = min(overlap, tile // 2)
     stride = tile - overlap
     rows = max(1, -(-(h - overlap) // stride))
     cols = max(1, -(-(w - overlap) // stride))

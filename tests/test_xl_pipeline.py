@@ -76,6 +76,20 @@ def test_xl_nti_reset_variant(xl):
     assert bool(jnp.isfinite(uncond_seq).all())
 
 
+def test_xl_cli_invert_null_text(xl):
+    """The CLI inversion path must thread the XL added_cond into NTI
+    (regression: cli.invert dropped ddim_invert's added_cond, so XL
+    null-text inversion crashed on the UNet's added-cond assert)."""
+    from image_editing_framework_tpu import cli
+
+    img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    last, traj, uncond_seq = cli.invert(
+        xl, img, "a cat", "null-text", "masactrl", use_flash=False
+    )
+    assert uncond_seq.shape == (4, 77, 32)
+    assert bool(jnp.isfinite(uncond_seq).all())
+
+
 @pytest.mark.slow
 def test_xl_p2p_edit(xl):
     lat = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4))
