@@ -219,12 +219,19 @@ class SDPipeline:
         )
 
 
-def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
+def tiny_pipeline(
+    num_steps: int = 50,
+    model_type: str = "sd",
+    seed: int = 0,
+    dtype: Any = jnp.float32,
+):
     """Random-weight tiny pipeline for tests (the reference's validation
     strategy offers no fixtures — SURVEY.md §4 — so we build our own).
 
     model_type: 'sd', 'xl', or 'xl-refiner' (single bigG-style tower,
-    5 time ids, is_refiner=True)."""
+    5 time ids, is_refiner=True). ``dtype`` sets the compute dtype of every
+    model AND casts params — ``jnp.bfloat16`` mirrors the production loader
+    (registry.load_pipeline(dtype=...)) for dtype-robustness tests."""
     from image_editing_framework_tpu.models import configs
     from image_editing_framework_tpu.models.clip import TINY_CLIP, CLIPTextModel
     from image_editing_framework_tpu.models.tokenizer import WordTokenizer
@@ -239,7 +246,7 @@ def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
         if is_refiner
         else configs.TINY_XL_UNET if is_xl else configs.TINY_UNET
     )
-    unet = UNet2DCondition(unet_cfg)
+    unet = UNet2DCondition(unet_cfg, dtype=dtype)
     x = jnp.zeros((1, 16, 16, 4))
     ctx_dim = unet_cfg.cross_attention_dim
     ctx = jnp.zeros((1, 77, ctx_dim))
@@ -255,7 +262,7 @@ def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
     # must build on virtual CPU meshes even when the default backend is TPU.
     unet_params = unet.init(k1, x, 0, ctx, None, added, False)
 
-    vae = AutoencoderKL(TINY_VAE)
+    vae = AutoencoderKL(TINY_VAE, dtype=dtype)
     vae_params = vae.init(k2, jnp.zeros((1, 32, 32, 3)))
 
     # XL base: the context is the concat of both encoders' penultimate
@@ -269,7 +276,7 @@ def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
         projection_dim=16 if is_refiner else None,
         vocab_size=64,
     )
-    text = CLIPTextModel(clip_cfg)
+    text = CLIPTextModel(clip_cfg, dtype=dtype)
     text_params = text.init(k3, jnp.zeros((1, 77), jnp.int32))
 
     pipe = SDPipeline(
@@ -282,6 +289,7 @@ def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
         text_params=text_params,
         tokenizer=tokenizer,
         scheduler=make_ddim_schedule(num_steps),
+        dtype=dtype,
         is_refiner=is_refiner,
     )
     if is_refiner:
@@ -293,8 +301,20 @@ def tiny_pipeline(num_steps: int = 50, model_type: str = "sd", seed: int = 0):
         clip2 = dataclasses.replace(
             TINY_CLIP, hidden_size=hid, projection_dim=16, vocab_size=64
         )
-        text2 = CLIPTextModel(clip2)
+        text2 = CLIPTextModel(clip2, dtype=dtype)
         pipe.text_encoder_2 = text2
         pipe.text_params_2 = text2.init(k4, jnp.zeros((1, 77), jnp.int32))
         pipe.tokenizer_2 = tokenizer
+    if dtype != jnp.float32:
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            t,
+        )
+        pipe.unet_params = cast(pipe.unet_params)
+        pipe.vae_params = cast(pipe.vae_params)
+        pipe.text_params = cast(pipe.text_params)
+        if pipe.text_params_2 is not None:
+            pipe.text_params_2 = cast(pipe.text_params_2)
     return pipe

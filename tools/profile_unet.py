@@ -38,13 +38,38 @@ from image_editing_framework_tpu.models.unet import (
 from image_editing_framework_tpu.models.vae import AutoencoderKL, VAEConfig
 from image_editing_framework_tpu.ops.controls import NoneStep
 
-ITERS = 20
+ITERS = int(os.environ.get("IEF_PROFILE_ITERS", "100"))
 PEAK_TF = 197.0  # v5e bf16
 PEAK_GBS = 819.0  # v5e HBM
 
+# The tunnel to the ambient chip pays a fixed RTT per program invocation
+# (~tens of ms): measure it with an empty-ish program once and subtract it
+# from every scan timing, else it reads as +RTT/ITERS ms on every component.
+_RTT = None
+
+
+def measured_rtt() -> float:
+    global _RTT
+    if _RTT is None:
+        f = jax.jit(lambda x: x * 2.0)
+        y = np.asarray(f(jnp.float32(1)))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(jnp.float32(1)))
+            ts.append(time.perf_counter() - t0)
+        _RTT = min(ts)
+    return _RTT
+
 
 def scan_time(fn, params, x, *rest):
-    """Time ITERS sequential applications of fn inside one jitted scan."""
+    """Time ITERS sequential applications of fn inside one jitted scan.
+
+    The program returns a SCALAR reduction of the final carry: fetching the
+    full activation would be timed through the tunnel (~tens of MB/s), which
+    swamps the on-chip time by orders of magnitude. The scalar still forces
+    the whole chain (each iteration feeds the next).
+    """
 
     @jax.jit
     def run(params, x):
@@ -54,7 +79,7 @@ def scan_time(fn, params, x, *rest):
             return out, None
 
         y, _ = jax.lax.scan(step, x, None, length=ITERS)
-        return y
+        return y.astype(jnp.float32).mean()
 
     lowered = run.lower(params, x)
     compiled = lowered.compile()
@@ -69,7 +94,7 @@ def scan_time(fn, params, x, *rest):
     np.asarray(run(params, x))  # warm
     t0 = time.perf_counter()
     np.asarray(run(params, x))
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0 - measured_rtt()) / ITERS
     return dt, flops, bytes_
 
 
@@ -175,7 +200,7 @@ def main() -> None:
     np.asarray(dec2(vp, z))
     t0 = time.perf_counter()
     np.asarray(dec2(vp, z))
-    dt = (time.perf_counter() - t0) / 5
+    dt = (time.perf_counter() - t0 - measured_rtt()) / 5
     report(
         f"vae decode b=2 {side}x{side}", dt,
         cost.get("flops", 0.0), cost.get("bytes accessed", 0.0),
