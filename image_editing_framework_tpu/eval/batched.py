@@ -24,15 +24,30 @@ from image_editing_framework_tpu.ops import controls as ctl
 
 
 
-def _encode_pairs_sd(pipe, prompt_pairs) -> jnp.ndarray:
-    """(G, 2P, 77, D) contexts for G prompt pairs in ONE text-encoder call
-    (per-pair eager encodes dominated batched-group host time)."""
+def _encode_pairs(pipe, prompt_pairs, latents):
+    """Contexts (G, 2P, 77, D) + per-image XL added conds (or None) for G
+    prompt pairs in ONE text-encoder call (per-pair eager encodes dominated
+    batched-group host time). For XL the time_ids derive from the latent
+    spatial shape exactly like the serial inversion path (inversion/ddim.py)."""
     flat = [p for pair in prompt_pairs for p in pair]  # [s0, t0, s1, t1, ...]
     g, pp = len(prompt_pairs), len(prompt_pairs[0])
-    emb = pipe.encode_prompts_sd(flat)  # (2*G*pp, 77, D): [uncond..., cond...]
-    uncond = emb[: g * pp].reshape(g, pp, *emb.shape[1:])
-    cond = emb[g * pp :].reshape(g, pp, *emb.shape[1:])
-    return jnp.concatenate([uncond, cond], axis=1)  # (G, 2pp, 77, D)
+    context, added = pipe.encode_prompts(flat)  # (2*G*pp, 77, D)
+
+    def fold(x):  # [uncond..., cond...] -> (G, 2pp, ...)
+        u = x[: g * pp].reshape(g, pp, *x.shape[1:])
+        c = x[g * pp :].reshape(g, pp, *x.shape[1:])
+        return jnp.concatenate([u, c], axis=1)
+
+    contexts = fold(context)
+    added_cond = None
+    if pipe.model_type == "xl":
+        h, w = latents.shape[-3] * 8, latents.shape[-2] * 8
+        tids = pipe.add_time_ids(h, w, 2 * pp)  # (2pp, n_ids)
+        added_cond = {
+            "text_embeds": fold(added["text_embeds"]),  # (G, 2pp, P)
+            "time_ids": jnp.broadcast_to(tids[None], (g,) + tids.shape),
+        }
+    return contexts, added_cond
 
 
 def stack_controls(items: Sequence) -> object:
@@ -42,32 +57,38 @@ def stack_controls(items: Sequence) -> object:
 
 @functools.partial(jax.jit, static_argnames=("unet", "use_flash"))
 def _batched_invert(unet, params, sched, latents, conds, added, use_flash):
-    def one(lat, cond):
-        return _invert_scan(unet, params, sched, lat, cond, added, use_flash)
+    def one(lat, cond, add):
+        return _invert_scan(unet, params, sched, lat, cond, add, use_flash)
 
-    return jax.vmap(one)(latents, conds)  # (last (G,1,...), traj (G,S+1,1,...))
+    axes = (0, 0, 0 if added is not None else None)
+    # (last (G,1,...), traj (G,S+1,1,...))
+    return jax.vmap(one, in_axes=axes)(latents, conds, added)
 
 
 @functools.partial(
     jax.jit, static_argnames=("unet", "use_flash", "has_nti", "ctrl_stacked")
 )
 def _batched_edit(
-    unet, params, sched, latents, contexts, ctrls, guidance, uncond_seqs,
-    use_flash, has_nti, ctrl_stacked=True,
+    unet, params, sched, latents, contexts, ctrls, guidance, added,
+    uncond_seqs, use_flash, has_nti, ctrl_stacked=True,
 ):
     """ctrl_stacked: True when controls differ per image (P2P mappers/alphas);
     False broadcasts ONE control to the whole group (MasaCtrl / PnP gates are
-    prompt-independent)."""
+    prompt-independent). ``added`` is the per-image XL added-cond dict
+    (vmapped over the group) or None for SD."""
 
-    def one(lat, ctx, c, useq):
+    def one(lat, ctx, c, useq, add):
         return _denoise_scan(
-            unet, params, sched, lat, ctx, c, guidance, None, useq,
+            unet, params, sched, lat, ctx, c, guidance, add, useq,
             LocalBlend(jnp.zeros((1, 77))), None, use_flash, False, False, None,
         )[0]
 
-    axes = (0, 0, 0 if ctrl_stacked else None, 0 if has_nti else None)
+    axes = (
+        0, 0, 0 if ctrl_stacked else None, 0 if has_nti else None,
+        0 if added is not None else None,
+    )
     return jax.vmap(one, in_axes=axes)(
-        latents, contexts, ctrls, uncond_seqs if has_nti else None
+        latents, contexts, ctrls, uncond_seqs if has_nti else None, added
     )
 
 
@@ -91,12 +112,12 @@ def p2p_edit_batch(
             for pair, cfg in zip(prompt_pairs, cfgs)
         ]
     )
-    contexts = _encode_pairs_sd(pipe, prompt_pairs)  # (G, 4, 77, D)
+    contexts, added = _encode_pairs(pipe, prompt_pairs, latents)  # (G, 4, 77, D)
     lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
     final = _batched_edit(
         pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrls,
-        jnp.asarray(guidance_scale, latents.dtype), uncond_seqs, use_flash,
-        uncond_seqs is not None,
+        jnp.asarray(guidance_scale, latents.dtype), added, uncond_seqs,
+        use_flash, uncond_seqs is not None,
     )
     return _decode_pairs(pipe, final, g)
 
@@ -113,12 +134,12 @@ def _broadcast_ctrl_edit(
     """Shared body for editors whose control is prompt-independent (one
     control pytree broadcasts to the whole group)."""
     g = len(prompt_pairs)
-    contexts = _encode_pairs_sd(pipe, prompt_pairs)
+    contexts, added = _encode_pairs(pipe, prompt_pairs, latents)
     lat0 = jnp.broadcast_to(latents, (g, 2) + latents.shape[2:])
     final = _batched_edit(
         pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrl,
-        jnp.asarray(guidance_scale, latents.dtype), uncond_seqs, use_flash,
-        uncond_seqs is not None, ctrl_stacked=False,
+        jnp.asarray(guidance_scale, latents.dtype), added, uncond_seqs,
+        use_flash, uncond_seqs is not None, ctrl_stacked=False,
     )
     return _decode_pairs(pipe, final, g)
 
@@ -178,26 +199,31 @@ def pnp_edit_batch(
 @functools.partial(jax.jit, static_argnames=("unet", "use_flash", "has_nti"))
 def _batched_p2z(
     unet, params, sched, latents, ctx_srcs, ctx_tgts, guidance, amount,
-    uncond_seqs, use_flash, has_nti,
+    added_s, added_t, uncond_seqs, use_flash, has_nti,
 ):
     from image_editing_framework_tpu.methods.p2z import _guided_scan
     from image_editing_framework_tpu.ops.controls import P2ZControl
 
-    def one(lat, ctx_s, ctx_t, useq):
+    def one(lat, ctx_s, ctx_t, useq, add_s, add_t):
         final_src, refs = _denoise_scan(
-            unet, params, sched, lat, ctx_s, P2ZControl(), guidance, None,
+            unet, params, sched, lat, ctx_s, P2ZControl(), guidance, add_s,
             useq, LocalBlend(jnp.zeros((1, 77))), None, use_flash, True,
             False, None,
         )
         final_tgt = _guided_scan(
-            unet, params, sched, lat, ctx_t, refs, guidance, amount, None,
+            unet, params, sched, lat, ctx_t, refs, guidance, amount, add_t,
             useq, use_flash,
         )
         return final_src, final_tgt
 
-    axes = (0, 0, 0, 0 if has_nti else None)
+    has_added = added_s is not None
+    axes = (
+        0, 0, 0, 0 if has_nti else None,
+        0 if has_added else None, 0 if has_added else None,
+    )
     return jax.vmap(one, in_axes=axes)(
-        latents, ctx_srcs, ctx_tgts, uncond_seqs if has_nti else None
+        latents, ctx_srcs, ctx_tgts, uncond_seqs if has_nti else None,
+        added_s, added_t,
     )
 
 
@@ -217,13 +243,17 @@ def p2z_edit_batch(
 
     g = len(prompt_pairs)
     cfg = cfg or P2ZConfig()
-    ctx_srcs = _encode_pairs_sd(pipe, [[pair[0]] for pair in prompt_pairs])
-    ctx_tgts = _encode_pairs_sd(pipe, [[pair[1]] for pair in prompt_pairs])
+    ctx_srcs, added_s = _encode_pairs(
+        pipe, [[pair[0]] for pair in prompt_pairs], latents
+    )
+    ctx_tgts, added_t = _encode_pairs(
+        pipe, [[pair[1]] for pair in prompt_pairs], latents
+    )
     final_src, final_tgt = _batched_p2z(
         pipe.unet, pipe.unet_params, pipe.scheduler, latents, ctx_srcs,
         ctx_tgts, jnp.asarray(guidance_scale, latents.dtype),
-        jnp.asarray(cfg.guidance_amount, latents.dtype), uncond_seqs,
-        use_flash, uncond_seqs is not None,
+        jnp.asarray(cfg.guidance_amount, latents.dtype), added_s, added_t,
+        uncond_seqs, use_flash, uncond_seqs is not None,
     )
     both = jnp.concatenate([final_src, final_tgt], axis=1)  # (G, 2, h, w, 4)
     return _decode_pairs(pipe, both, g)
@@ -274,10 +304,19 @@ def ddim_invert_batch(
 ):
     """Invert G images under their source prompts in one program."""
     g = len(prompts)
-    conds = pipe.encode_prompts_sd(list(prompts))[g:][:, None]  # (G, 1, 77, D)
+    context, added = pipe.encode_prompts(list(prompts))
+    conds = context[g:][:, None]  # (G, 1, 77, D) cond halves
+    added_cond = None
+    if pipe.model_type == "xl":
+        h, w = latents.shape[-3] * 8, latents.shape[-2] * 8
+        tids = pipe.add_time_ids(h, w, 1)  # (1, n_ids)
+        added_cond = {
+            "text_embeds": added["text_embeds"][g:][:, None],  # (G, 1, P)
+            "time_ids": jnp.broadcast_to(tids[None], (g,) + tids.shape),
+        }
     last, traj = _batched_invert(
-        pipe.unet, pipe.unet_params, pipe.scheduler, latents, conds, None,
-        use_flash,
+        pipe.unet, pipe.unet_params, pipe.scheduler, latents, conds,
+        added_cond, use_flash,
     )
     if return_trajectory:
         return last, traj
@@ -291,11 +330,21 @@ def nti_batch(pipe, trajectories, prompts, cfg=None, guidance_scale: float = 7.5
     from image_editing_framework_tpu.inversion.nti import null_text_inversion_batch
 
     g = len(prompts)
-    emb = pipe.encode_prompts_sd(list(prompts))  # (2G, 77, D): [uncond, cond]
+    emb, added = pipe.encode_prompts(list(prompts))  # (2G, 77, D): [uncond, cond]
     contexts = jnp.stack(
         [jnp.stack([emb[i], emb[g + i]]) for i in range(g)]
     )  # (G, 2, 77, D)
+    added_conds = None
+    if pipe.model_type == "xl":
+        h = trajectories.shape[-3] * 8
+        w = trajectories.shape[-2] * 8
+        tids = pipe.add_time_ids(h, w, 1)  # (1, n_ids)
+        added_conds = {
+            "text_embeds": added["text_embeds"][g:][:, None],  # (G, 1, P)
+            "time_ids": jnp.broadcast_to(tids[None], (g,) + tids.shape),
+        }
     return null_text_inversion_batch(
         pipe, trajectories, contexts, cfg or NTIConfig(),
-        guidance_scale=guidance_scale, use_flash=use_flash,
+        guidance_scale=guidance_scale, added_conds=added_conds,
+        use_flash=use_flash,
     )

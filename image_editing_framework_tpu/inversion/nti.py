@@ -123,17 +123,19 @@ def null_text_inversion_batch(
     contexts: jnp.ndarray,  # (G, 2, 77, D)
     cfg: NTIConfig = NTIConfig(),
     guidance_scale: float = 7.5,
+    added_conds: Optional[Dict[str, jnp.ndarray]] = None,  # (G, 1, ...) leaves
     use_flash: bool = True,
 ) -> jnp.ndarray:
     """Optimize G images' null-text embeddings in one vmapped program.
 
     The early-stop while_loop batches soundly (JAX freezes finished
     elements); cost per step is the max inner-iteration count in the group.
-    Returns (G, S, 77, D).
+    ``added_conds`` carries per-image XL added conditions (text_embeds,
+    time_ids), vmapped over the group. Returns (G, S, 77, D).
     """
     import jax
 
-    def one(traj, ctx):
+    def one(traj, ctx, add):
         return _nti_scan(
             pipe.unet,
             pipe.unet_params,
@@ -145,13 +147,14 @@ def null_text_inversion_batch(
             jnp.asarray(cfg.base_lr, jnp.float32),
             jnp.asarray(cfg.lr_decay_span, jnp.float32),
             jnp.asarray(cfg.epsilon, jnp.float32),
-            None,
+            add,
             cfg.num_inner_steps,
             pipe.model_type == "xl",
             use_flash,
         )
 
-    return jax.vmap(one)(trajectories, contexts)
+    axes = (0, 0, 0 if added_conds is not None else None)
+    return jax.vmap(one, in_axes=axes)(trajectories, contexts, added_conds)
 
 
 def null_text_inversion(

@@ -180,6 +180,7 @@ def main() -> None:
         report(f"xformer ch={ch} res={res} layers={nl}", dt, fl, by)
 
     # --- VAE decode (2 images, as in the CFG edit's final decode)
+    del params  # free the UNet weights: XL @ 1024^2 decode OOMs otherwise
     vae = AutoencoderKL(VAEConfig(), dtype=dtype)
     vp = fast_random_params(vae, jnp.zeros((1, side * 8, side * 8, 3), dtype), seed=1)
     z = jax.random.normal(jax.random.PRNGKey(5), (2, side, side, 4), dtype)
