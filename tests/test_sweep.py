@@ -171,3 +171,24 @@ def test_sweep_batched_null_text(mini_pie, tmp_path):
         max_items=2, resolution=32, batch_size=2,
     )
     assert stats["images_done"] == 2
+
+
+@pytest.mark.slow
+def test_sweep_xl_serial_and_batched(mini_pie, tmp_path):
+    """SDXL sweeps: serial with null-text inversion (regression — the CLI
+    inversion path used to drop the XL added conds) and batched ddim mode
+    (regression — batched paths used to be SD-only)."""
+    xl = tiny_pipeline(num_steps=2, model_type="xl")
+    stats = run_sweep(
+        xl, "p2p", mini_pie, str(tmp_path / "exp_xl"),
+        inversion_type="null-text", categories=(0,), resolution=32,
+        max_items=1,
+    )
+    assert stats["images_done"] == 1
+    stats = run_sweep(
+        xl, "p2p", mini_pie, str(tmp_path / "exp_xl_b"),
+        inversion_type="ddim", categories=(0,), resolution=32, batch_size=2,
+    )
+    assert stats["images_done"] == 3
+    done = sorted(os.listdir(os.path.join(str(tmp_path / "exp_xl_b"), "0_random")))
+    assert len(done) == 3
