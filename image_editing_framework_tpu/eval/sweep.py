@@ -71,6 +71,11 @@ def run_sweep(
     from image_editing_framework_tpu.cli import invert, run_method
 
     res = resolution or (1024 if pipe.model_type == "xl" else 512)
+    if pipe.model_type == "xl" and res >= 1024 and pipe.decode_tile_latent is None:
+        # Memory-safety default: the full-frame 1024² decode's activations
+        # don't fit next to the resident XL UNet + both text towers on one
+        # 16 GB chip. Set pipe.decode_tile_latent yourself to override.
+        pipe.decode_tile_latent = 64
     sampler = SamplerConfig(height=res, width=res, seed=seed)
     times = []
     done = skipped = 0

@@ -48,6 +48,11 @@ class SDPipeline:
     # sd_version='xl-refiner' (reference: p2p/edit_real.py:77-89 loads the
     # refiner alongside the XL-base editing pipe, sharing text_encoder_2/vae).
     refiner: Optional["SDPipeline"] = None
+    # Default latent tile size for decodes (None = full-frame decode). When
+    # set, latent2image tiles unless an explicit tile_latent overrides it —
+    # the memory-safety default for XL 1024² sweeps, where the full decode's
+    # activations don't fit next to the resident UNet + both text towers.
+    decode_tile_latent: Optional[int] = None
 
     # ------------------------------------------------------------------ text
 
@@ -192,11 +197,14 @@ class SDPipeline:
 
         ``tile_latent`` decodes in overlapping latent tiles of that size
         (models/vae.py:decode_tiled) — bounds decoder activation memory for
-        XL-and-beyond resolutions."""
+        XL-and-beyond resolutions. Defaults to the pipeline's
+        ``decode_tile_latent`` when unset."""
         def to_uint8(img):
             img = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
             return jnp.round(img * 255).astype(jnp.uint8)
 
+        if tile_latent is None:
+            tile_latent = self.decode_tile_latent
         if tile_latent is not None:
             from image_editing_framework_tpu.models.vae import decode_tiled
 

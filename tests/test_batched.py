@@ -148,6 +148,7 @@ def test_batched_edit_with_nti_seq():
     )
 
 
+@pytest.mark.slow
 def test_batched_p2p_xl_matches_per_image():
     """XL batched editing: per-image added conds (text_embeds, time_ids)
     thread through the vmapped program and match the serial path exactly."""

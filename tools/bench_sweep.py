@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_sd15_pipe(num_steps: int = 50):
+def build_pipe(num_steps: int = 50, model: str = "sd"):
+    """Random-weight production-architecture pipeline ('sd' = SD1.5 at 512^2,
+    'xl' = SDXL-base at 1024^2); compute cost identical to trained weights."""
     import dataclasses
 
     import jax
@@ -29,7 +31,11 @@ def build_sd15_pipe(num_steps: int = 50):
 
     from image_editing_framework_tpu.core.scheduler import make_ddim_schedule
     from image_editing_framework_tpu.models import configs
-    from image_editing_framework_tpu.models.clip import CLIP_VIT_L, CLIPTextModel
+    from image_editing_framework_tpu.models.clip import (
+        CLIP_VIT_L,
+        OPEN_CLIP_BIG_G,
+        CLIPTextModel,
+    )
     from image_editing_framework_tpu.models.init_utils import fast_random_params
     from image_editing_framework_tpu.models.tokenizer import WordTokenizer
     from image_editing_framework_tpu.models.unet import UNet2DCondition
@@ -37,24 +43,63 @@ def build_sd15_pipe(num_steps: int = 50):
     from image_editing_framework_tpu.pipelines import SDPipeline
 
     dtype = jnp.bfloat16
-    unet = UNet2DCondition(configs.SD15_UNET, dtype=dtype)
-    unet_params = fast_random_params(
-        unet, jnp.zeros((1, 64, 64, 4), dtype), 0, jnp.zeros((1, 77, 768), dtype)
+
+    def cast(tree):
+        # fast_random_params materializes flax's default f32 param leaves;
+        # production checkpoints load as bf16 (registry dtype=bf16). XL f32
+        # params alone (10.3 GB UNet + 2.8 GB bigG) would fill the chip.
+        return jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            tree,
+        )
+
+    is_xl = model == "xl"
+    unet_cfg = configs.SDXL_UNET if is_xl else configs.SD15_UNET
+    side = 128 if is_xl else 64
+    ctx_dim = unet_cfg.cross_attention_dim
+    unet = UNet2DCondition(unet_cfg, dtype=dtype)
+    added = (
+        {
+            "text_embeds": jnp.zeros((1, 1280), dtype),
+            "time_ids": jnp.zeros((1, 6), dtype),
+        }
+        if is_xl
+        else None
     )
+    unet_params = cast(fast_random_params(
+        unet, jnp.zeros((1, side, side, 4), dtype), 0,
+        jnp.zeros((1, 77, ctx_dim), dtype), None, added,
+    ))
     vae = AutoencoderKL(VAEConfig(), dtype=dtype)
-    vae_params = fast_random_params(vae, jnp.zeros((1, 512, 512, 3), dtype), seed=1)
+    vae_params = cast(fast_random_params(
+        vae, jnp.zeros((1, side * 8, side * 8, 3), dtype), seed=1
+    ))
     tokenizer = WordTokenizer()
     text_cfg = dataclasses.replace(CLIP_VIT_L, vocab_size=tokenizer.vocab_size)
     text = CLIPTextModel(text_cfg, dtype=dtype)
-    text_params = fast_random_params(
+    text_params = cast(fast_random_params(
         text, jnp.zeros((1, 77), jnp.int32), seed=2
-    )
-    return SDPipeline(
-        model_type="sd", unet=unet, unet_params=unet_params, vae=vae,
+    ))
+    pipe = SDPipeline(
+        model_type="xl" if is_xl else "sd",
+        unet=unet, unet_params=unet_params, vae=vae,
         vae_params=vae_params, text_encoder=text, text_params=text_params,
         tokenizer=tokenizer, scheduler=make_ddim_schedule(num_steps),
         dtype=dtype,
     )
+    if is_xl:
+        cfg2 = dataclasses.replace(
+            OPEN_CLIP_BIG_G, vocab_size=tokenizer.vocab_size
+        )
+        text2 = CLIPTextModel(cfg2, dtype=dtype)
+        pipe.text_encoder_2 = text2
+        pipe.text_params_2 = cast(fast_random_params(
+            text2, jnp.zeros((1, 77), jnp.int32), seed=3
+        ))
+        pipe.tokenizer_2 = tokenizer
+    return pipe
 
 
 def make_mini_pie(root: str, n: int, res: int = 512) -> None:
@@ -83,6 +128,7 @@ def main() -> None:
     p.add_argument("--images", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--method", type=str, default="p2p")
+    p.add_argument("--model", type=str, default="sd", choices=("sd", "xl"))
     p.add_argument("--num_steps", type=int, default=50)
     p.add_argument("--workdir", type=str, default="/tmp/ief_sweep_bench")
     args = p.parse_args()
@@ -94,9 +140,9 @@ def main() -> None:
 
     from image_editing_framework_tpu.eval.sweep import run_sweep
 
-    root = os.path.join(args.workdir, "PIE")
-    make_mini_pie(root, args.images)
-    pipe = build_sd15_pipe(args.num_steps)
+    root = os.path.join(args.workdir, f"PIE_{args.model}")
+    make_mini_pie(root, args.images, res=1024 if args.model == "xl" else 512)
+    pipe = build_pipe(args.num_steps, args.model)
 
     results = {}
     for bs in (1, args.batch_size):
@@ -111,7 +157,7 @@ def main() -> None:
     s1 = results["bs1"]["steady_s_per_image"]
     sN = results[f"bs{args.batch_size}"]["steady_s_per_image"]
     print(json.dumps({
-        "metric": f"sweep_steady_s_per_image_{args.method}",
+        "metric": f"sweep_steady_s_per_image_{args.method}_{args.model}",
         "serial_bs1": s1,
         f"batched_bs{args.batch_size}": sN,
         "speedup": round(s1 / sN, 3) if s1 and sN else None,
