@@ -132,3 +132,33 @@ def test_service_parses_config_dict(tmp_path):
     r = json.load(open(os.path.join(svc.results_dir, "cfg", "response.json")))
     assert r["status"] == "ok", r
     assert os.path.exists(os.path.join(svc.results_dir, "cfg", "edit.png"))
+
+
+@pytest.mark.slow
+def test_service_handles_xl_requests(tmp_path):
+    """XL pipelines serve end-to-end, including the batched compatible-
+    request path (regression: batched programs were SD-only)."""
+    pipe = tiny_pipeline(num_steps=2, model_type="xl")
+    svc = EditService(pipe, str(tmp_path), resolution=32)
+    img_path = str(tmp_path / "input.jpg")
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    ).save(img_path)
+    for j in range(2):
+        with open(os.path.join(svc.requests_dir, f"job{j}.json"), "w") as f:
+            json.dump(
+                {
+                    "method": "p2p",
+                    "source_prompt": "a cat sat",
+                    "target_prompt": "a dog sat",
+                    "image_path": img_path,
+                    "inversion_type": "ddim",
+                },
+                f,
+            )
+    assert svc.poll_once() == 2
+    for j in range(2):
+        r = json.load(
+            open(os.path.join(svc.results_dir, f"job{j}", "response.json"))
+        )
+        assert r["status"] == "ok", r
