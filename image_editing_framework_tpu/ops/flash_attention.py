@@ -69,7 +69,7 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, sm_scale, kv_len, block_k,
+    *, sm_scale, kv_len, block_k, has_bias,
 ):
     """Online-softmax attention tile. Grid: (BH, n_q, n_k)."""
     ki = pl.program_id(2)
@@ -89,7 +89,10 @@ def _fwd_kernel(
         preferred_element_type=jnp.float32, precision=precision,
     )
     s *= sm_scale
-    s += bias_ref[0, 0][None, :]  # additive per-key logit bias (segment masks)
+    if has_bias:  # additive per-key logit bias (segment masks); the add on
+        # the (bq, bk) f32 scores costs ~15% of kernel time at 4096 tokens,
+        # so the no-bias majority path compiles it out.
+        s += bias_ref[0, 0][None, :]
 
     # Mask padded KV rows (when kv_len is not a multiple of block_k).
     if kv_len % block_k != 0:
@@ -118,38 +121,76 @@ def _fwd_kernel(
         o_ref[0] = (acc_scr[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)).astype(
             o_ref.dtype
         )
-        lse_ref[0, 0, :] = (m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37)))
+        if lse_ref is not None:
+            lse_ref[0, 0, :] = (
+                m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37))
+            )
 
 
-def _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, kv_len):
+def _fwd_kernel_nolse(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, sm_scale, kv_len, block_k, has_bias,
+):
+    _fwd_kernel(
+        q_ref, k_ref, v_ref, bias_ref, o_ref, None, m_scr, l_scr, acc_scr,
+        sm_scale=sm_scale, kv_len=kv_len, block_k=block_k, has_bias=has_bias,
+    )
+
+
+def _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, kv_len, has_bias=True,
+              want_lse=True):
+    # want_lse=False drops the log-sum-exp output stream entirely: the
+    # inference-only primal (the 50-step edit loops) never reads it, and the
+    # second output stream costs measurable kernel time at 4096 tokens.
     bh, nq, dp = qf.shape
     nk_pad = kf.shape[1]
     grid = (bh, nq // bq, nk_pad // bk)
+    in_specs = [
+        pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+        pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
+        pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
+        pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b, 0, ki)),
+    ]
+    scratch = [
+        pltpu.VMEM((bq, 128), jnp.float32),
+        pltpu.VMEM((bq, 128), jnp.float32),
+        pltpu.VMEM((bq, dp), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if not want_lse:
+        out = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_nolse, sm_scale=sm_scale, kv_len=kv_len,
+                block_k=bk, has_bias=has_bias,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bh, nq, dp), qf.dtype),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(qf, kf, vf, biasf)
+        return out, None
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale, kv_len=kv_len, block_k=bk),
+        functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, kv_len=kv_len, block_k=bk,
+            has_bias=has_bias,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, nq, dp), qf.dtype),
             jax.ShapeDtypeStruct((bh, 1, nq), jnp.float32),
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b, 0, ki)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, 1, bq), lambda b, qi, ki: (b, 0, qi)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, dp), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=_interpret(),
     )(qf, kf, vf, biasf)
     return out, lse
@@ -161,7 +202,7 @@ def _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, kv_len):
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, di_ref, dq_ref, acc_scr,
-    *, sm_scale, kv_len, block_k,
+    *, sm_scale, kv_len, block_k, has_bias,
 ):
     """dQ = (P * (dO V^T - di)) K * scale, accumulated over KV tiles.
     Grid: (BH, n_q, n_k)."""
@@ -181,7 +222,8 @@ def _bwd_dq_kernel(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     ) * sm_scale
-    s += bias_ref[0, 0][None, :]
+    if has_bias:
+        s += bias_ref[0, 0][None, :]
     if kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
@@ -203,7 +245,7 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr, *, sm_scale,
+    dk_scr, dv_scr, *, sm_scale, has_bias,
 ):
     """dV = P^T dO;  dK = (P * (dO V^T - di))^T Q * scale.
     Grid: (BH, n_k, n_q) — Q tiles innermost."""
@@ -224,7 +266,8 @@ def _bwd_dkv_kernel(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     ) * sm_scale
-    s += bias_ref[0, 0][None, :]
+    if has_bias:
+        s += bias_ref[0, 0][None, :]
     p = jnp.exp(s - lse_ref[0, 0][:, None])  # (bq, bk)
     dv_scr[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -246,14 +289,16 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, kv_len):
+def _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, kv_len,
+              has_bias=True):
     bh, nq, dp = qf.shape
     nk_pad = kf.shape[1]
     di = jnp.sum(of.astype(jnp.float32) * do_f.astype(jnp.float32), axis=-1)[:, None, :]  # (bh, 1, nq)
 
     dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel, sm_scale=sm_scale, kv_len=kv_len, block_k=bk
+            _bwd_dq_kernel, sm_scale=sm_scale, kv_len=kv_len, block_k=bk,
+            has_bias=has_bias,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, nq, dp), qf.dtype),
         grid=(bh, nq // bq, nk_pad // bk),
@@ -275,7 +320,9 @@ def _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, kv_len):
     )(qf, kf, vf, biasf, do_f, lse, di)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale),
+        functools.partial(
+            _bwd_dkv_kernel, sm_scale=sm_scale, has_bias=has_bias
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, nk_pad, dp), kf.dtype),
             jax.ShapeDtypeStruct((bh, nk_pad, dp), vf.dtype),
@@ -335,29 +382,32 @@ def _prep(q, k, v, bias, block_q, block_k):
     return qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, bias, sm_scale, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, bias, sm_scale, block_q, block_k, has_bias=True):
     qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
         q, k, v, bias, block_q, block_k
     )
-    out, _ = _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, nk)
+    out, _ = _fwd_impl(
+        qf, kf, vf, biasf, sm_scale, bq, bk, nk, has_bias, want_lse=False
+    )
     return out.reshape(b, h, nq, dp)[..., :d]
 
 
-def _flash_fwd(q, k, v, bias, sm_scale, block_q, block_k):
+def _flash_fwd(q, k, v, bias, sm_scale, block_q, block_k, has_bias=True):
     qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
         q, k, v, bias, block_q, block_k
     )
-    out, lse = _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, nk)
+    out, lse = _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, nk, has_bias)
     res = (qf, kf, vf, biasf, out, lse, (b, h, nq, nk, d, dp, bq, bk))
     return out.reshape(b, h, nq, dp)[..., :d], res
 
 
-def _flash_bwd(sm_scale, block_q, block_k, res, g):
+def _flash_bwd(sm_scale, block_q, block_k, has_bias, res, g):
     qf, kf, vf, biasf, of, lse, (b, h, nq, nk, d, dp, bq, bk) = res
     do = _pad_to(g, 3, dp) if dp != d else g
     do_f = do.reshape(b * h, nq, dp).astype(qf.dtype)
-    dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, nk)
+    dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk,
+                           nk, has_bias)
     dq = dq.reshape(b, h, nq, dp)[..., :d]
     dk = dk.reshape(b, h, -1, dp)[:, :, :nk, :d]
     dv = dv.reshape(b, h, -1, dp)[:, :, :nk, :d]
@@ -392,9 +442,12 @@ def flash_attention(
       (B, H, Nq, D) in q.dtype.
     """
     sm_scale, block_q, block_k = _defaults(q, k, sm_scale, block_q, block_k)
+    has_bias = bias is not None
     if bias is None:
+        # placeholder for stable pytree/spec shapes; the kernels compile the
+        # add out entirely when has_bias=False.
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
-    return _flash(q, k, v, bias, sm_scale, block_q, block_k)
+    return _flash(q, k, v, bias, sm_scale, block_q, block_k, has_bias)
 
 
 def _defaults(q, k, sm_scale, block_q, block_k):
@@ -428,12 +481,13 @@ def flash_attention_fwd_lse(
     Returns out (B, H, Nq, D) and lse (B, H, Nq) float32.
     """
     sm_scale, block_q, block_k = _defaults(q, k, sm_scale, block_q, block_k)
+    has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
     qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
         q, k, v, bias, block_q, block_k
     )
-    out, lse = _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, nk)
+    out, lse = _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, nk, has_bias)
     return out.reshape(b, h, nq, dp)[..., :d], lse.reshape(b, h, nq)
 
 
@@ -459,6 +513,7 @@ def flash_attention_bwd_block(
     Returns (dq, dk, dv) for this block.
     """
     sm_scale, block_q, block_k = _defaults(q, k, sm_scale, block_q, block_k)
+    has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
     qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
@@ -467,7 +522,8 @@ def flash_attention_bwd_block(
     of = (_pad_to(out, 3, dp) if dp != d else out).reshape(b * h, nq, dp)
     do_f = (_pad_to(g, 3, dp) if dp != d else g).reshape(b * h, nq, dp).astype(qf.dtype)
     lse_f = lse.reshape(b * h, 1, nq).astype(jnp.float32)
-    dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse_f, sm_scale, bq, bk, nk)
+    dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse_f, sm_scale, bq, bk,
+                           nk, has_bias)
     dq = dq.reshape(b, h, nq, dp)[..., :d]
     dk = dk.reshape(b, h, -1, dp)[:, :, :nk, :d]
     dv = dv.reshape(b, h, -1, dp)[:, :, :nk, :d]
