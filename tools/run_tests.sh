@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Run the test suite in sequential per-chunk processes.
+#
+# Why not one `pytest tests/`? Two reasons on this host:
+#  - the suite is XLA-compile-dominated on a single core, and a long-lived
+#    process accumulates hundreds of compiled CPU executables; XLA's CPU
+#    compiler has been observed to segfault non-deterministically deep into
+#    such a process (the same test passes in isolation);
+#  - chunked processes bound each run well under external timeout budgets.
+#
+# Usage:
+#   tools/run_tests.sh            # fast subset (default pytest selection)
+#   tools/run_tests.sh -m ""      # everything, incl. slow-marked tests
+set -u
+cd "$(dirname "$0")/.."
+
+chunks=(
+  "tests/test_scheduler.py tests/test_seq_aligner.py tests/test_tokenizer.py tests/test_controls.py tests/test_models.py"
+  "tests/test_flash_attention.py tests/test_flash_grad.py tests/test_ring_attention.py tests/test_parallel.py"
+  "tests/test_pipeline.py tests/test_bf16.py"
+  "tests/test_xl_pipeline.py tests/test_batched.py"
+  "tests/test_cli.py tests/test_sweep.py tests/test_serve.py"
+  "tests/test_loader.py tests/test_convert_ldm.py tests/test_registry.py tests/test_native.py"
+)
+# any test file not named above still runs, in a final catch-all chunk
+listed=$(echo "${chunks[@]}" | tr ' ' '\n' | sort)
+all=$(ls tests/test_*.py | sort)
+rest=$(comm -23 <(echo "$all") <(echo "$listed") | tr '\n' ' ')
+if [ -n "${rest// /}" ]; then
+  chunks+=("$rest")
+fi
+
+fail=0
+for c in "${chunks[@]}"; do
+  echo "=== pytest $c $* ==="
+  # shellcheck disable=SC2086
+  python -m pytest $c -q "$@" || { fail=$?; break; }
+done
+exit $fail
