@@ -177,7 +177,7 @@ class Attention(nn.Module):
         else:
             # masked variants; ``running`` = records from earlier sites of
             # this same forward (same-pass MaskAuto aggregation)
-            out = ctrl.self_override(site, q, k, v, running)
+            out = ctrl.self_override(site, q, k, v, running, use_flash)
             if out is None:
                 plan = ctrl.self_plan(site, x.shape[0])
                 mesh = self.cp_mesh if x.shape[1] >= self.cp_min_seq else None

@@ -49,9 +49,14 @@ class NoneStep:
     def self_plan(self, site: AttnSite, batch: int) -> Optional[SelfAttnPlan]:
         return None
 
-    def self_override(self, site: AttnSite, q, k, v, running=None):
+    def self_override(self, site: AttnSite, q, k, v, running=None,
+                      use_flash=None):
         """Full custom self-attention output (masked MasaCtrl variants);
         None means use the plan/flash path. Static per control type.
+        ``use_flash`` selects the kernel vs XLA attention path for the
+        override's internal attention calls (None = backend default); the
+        UNet threads its own flag so a virtual CPU mesh under an ambient
+        TPU backend stays on the XLA path.
 
         ``running`` is the dict of records accumulated by *earlier sites of
         the same UNet forward* (the UNet threads its records dict down in
@@ -276,12 +281,17 @@ class MasaCtrlMaskStep(MasaCtrlStep):
         m = jax.image.resize(mask, (side, side), method="nearest")
         return m.reshape(-1)  # (N,)
 
-    def self_override(self, site: AttnSite, q, k, v, running=None):
+    def self_override(self, site: AttnSite, q, k, v, running=None,
+                      use_flash=None):
         if site.layer not in self.layers:
             return None
+        import jax as _jax
+
         from image_editing_framework_tpu.ops import attention as attn_ops
         from image_editing_framework_tpu.ops.flash_attention import NEG_INF
 
+        if use_flash is None:
+            use_flash = _jax.default_backend() == "tpu"
         b, h, n, d = q.shape
         p = self.num_prompts
         iota = jnp.arange(b, dtype=jnp.int32)
@@ -289,8 +299,11 @@ class MasaCtrlMaskStep(MasaCtrlStep):
         ms = self._site_mask(self.mask_s, n)  # (N,) source fg mask
         mt = self._site_mask(self.mask_t, n)  # (N,) target fg mask
 
-        # Normal output (ungated steps / source rows).
-        normal = attn_ops.self_attention(q, k, v, None, use_flash=False)
+        # Normal output (ungated steps / source rows) — same attention path
+        # as the masked calls below (hardcoding the XLA path here ran source
+        # rows at DEFAULT matmul precision on TPU while every other site
+        # used the kernel).
+        normal = attn_ops.self_attention(q, k, v, None, use_flash=use_flash)
         # fg / bg outputs: all queries vs source K/V restricted by mask.
         k_src, v_src = k[half_src], v[half_src]
         bias_fg = jnp.broadcast_to(
@@ -299,8 +312,8 @@ class MasaCtrlMaskStep(MasaCtrlStep):
         bias_bg = jnp.broadcast_to(
             jnp.where(ms > 0.5, NEG_INF, 0.0)[None, :], (b, n)
         )
-        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg)
-        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg)
+        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg, use_flash)
+        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg, use_flash)
         blended = out_fg * mt[None, None, :, None] + out_bg * (
             1.0 - mt[None, None, :, None]
         )
@@ -360,20 +373,27 @@ class MasaCtrlAutoStep(MasaCtrlStep):
     def self_plan(self, site, batch):
         return None  # all logic lives in self_override
 
-    def self_override(self, site: AttnSite, q, k, v, running=None):
+    def self_override(self, site: AttnSite, q, k, v, running=None,
+                      use_flash=None):
         if site.layer not in self.layers:
             return None
+        import jax as _jax
+
         from image_editing_framework_tpu.ops import attention as attn_ops
         from image_editing_framework_tpu.ops.flash_attention import NEG_INF
 
+        if use_flash is None:
+            use_flash = _jax.default_backend() == "tpu"
         b, h, n, d = q.shape
         p = self.num_prompts
         iota = jnp.arange(b, dtype=jnp.int32)
         half_src = (iota // p) * p
         k_src, v_src = k[half_src], v[half_src]
 
-        normal = attn_ops.self_attention(q, k, v, None, use_flash=False)
-        mutual = attn_ops.self_attention(q, k_src, v_src, None, use_flash=False)
+        normal = attn_ops.self_attention(q, k, v, None, use_flash=use_flash)
+        mutual = attn_ops.self_attention(
+            q, k_src, v_src, None, use_flash=use_flash
+        )
 
         if not running:
             # no cross maps recorded yet this forward: plain mutual attention
@@ -389,8 +409,8 @@ class MasaCtrlAutoStep(MasaCtrlStep):
         mt_bin = (mt >= self.thres).astype(jnp.float32)
         bias_fg = jnp.broadcast_to(jnp.where(ms_bin > 0.5, 0.0, NEG_INF)[None], (b, n))
         bias_bg = jnp.broadcast_to(jnp.where(ms_bin > 0.5, NEG_INF, 0.0)[None], (b, n))
-        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg, use_flash=False)
-        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg, use_flash=False)
+        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg, use_flash)
+        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg, use_flash)
         masked = out_fg * mt_bin[None, None, :, None] + out_bg * (
             1.0 - mt_bin[None, None, :, None]
         )

@@ -47,9 +47,13 @@ def test_auto_step_same_pass_masks():
     d = q.shape[-1]
 
     def attn(qb, kb, vb):
-        s = jnp.einsum("hqd,hkd->hqk", qb, kb) / jnp.sqrt(d)
+        # precision="highest": on TPU the default einsum precision would put
+        # this oracle ~1e-2 from the f32 kernel path.
+        s = jnp.einsum("hqd,hkd->hqk", qb, kb, precision="highest") / jnp.sqrt(d)
         p = jax.nn.softmax(s.astype(jnp.float32), -1)
-        return jnp.einsum("hqk,hkd->hqd", p.astype(vb.dtype), vb)
+        return jnp.einsum(
+            "hqk,hkd->hqd", p.astype(vb.dtype), vb, precision="highest"
+        )
 
     for b in [0, 2]:  # source rows: plain self-attention
         np.testing.assert_allclose(

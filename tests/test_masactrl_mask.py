@@ -14,10 +14,14 @@ from image_editing_framework_tpu.ops.flash_attention import NEG_INF
 
 
 def softmax_attn_bias(q, k, v, bias):
+    # precision="highest": on TPU the default einsum precision is bf16-pass
+    # matmul, which would put this oracle ~1e-2 away from the f32 kernel.
     d = q.shape[-1]
-    s = jnp.einsum("hqd,hkd->hqk", q, k) / jnp.sqrt(d) + bias[None, None, :]
+    s = jnp.einsum(
+        "hqd,hkd->hqk", q, k, precision="highest"
+    ) / jnp.sqrt(d) + bias[None, None, :]
     p = jax.nn.softmax(s.astype(jnp.float32), -1).astype(v.dtype)
-    return jnp.einsum("hqk,hkd->hqd", p, v)
+    return jnp.einsum("hqk,hkd->hqd", p, v, precision="highest")
 
 
 def test_mask_step_semantics():
@@ -52,9 +56,11 @@ def test_mask_step_semantics():
         np.testing.assert_allclose(np.asarray(out[b]), np.asarray(expect), atol=1e-5)
     for b in [0, 2]:  # sources: plain self-attention
         d = q.shape[-1]
-        s = jnp.einsum("hqd,hkd->hqk", q[b], k[b]) / jnp.sqrt(d)
+        s = jnp.einsum("hqd,hkd->hqk", q[b], k[b], precision="highest") / jnp.sqrt(d)
         p = jax.nn.softmax(s.astype(jnp.float32), -1)
-        expect = jnp.einsum("hqk,hkd->hqd", p.astype(v.dtype), v[b])
+        expect = jnp.einsum(
+            "hqk,hkd->hqd", p.astype(v.dtype), v[b], precision="highest"
+        )
         np.testing.assert_allclose(np.asarray(out[b]), np.asarray(expect), atol=1e-5)
 
     # ungated step: everything normal
@@ -62,9 +68,11 @@ def test_mask_step_semantics():
     out0 = step0.self_override(site, q, k, v)
     for b in range(4):
         d = q.shape[-1]
-        s = jnp.einsum("hqd,hkd->hqk", q[b], k[b]) / jnp.sqrt(d)
+        s = jnp.einsum("hqd,hkd->hqk", q[b], k[b], precision="highest") / jnp.sqrt(d)
         p = jax.nn.softmax(s.astype(jnp.float32), -1)
-        expect = jnp.einsum("hqk,hkd->hqd", p.astype(v.dtype), v[b])
+        expect = jnp.einsum(
+            "hqk,hkd->hqd", p.astype(v.dtype), v[b], precision="highest"
+        )
         np.testing.assert_allclose(np.asarray(out0[b]), np.asarray(expect), atol=1e-5)
 
     # layer outside the static set: no override at all
@@ -84,7 +92,9 @@ def test_mask_control_through_unet():
         50, 4, MasaCtrlConfig(start_step=4, start_layer=0),
         mask_s=mask, mask_t=mask,
     )
-    base, _ = m.apply(params, x, 10, ctx)
+    # hold the attention algorithm fixed (use_flash=False on both sides):
+    # mixing the kernel and the XLA path differs by matmul precision on TPU.
+    base, _ = m.apply(params, x, 10, ctx, None, None, False)
     out, _ = m.apply(params, x, 10, ctx, ctrl.at_step(10), None, False)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(base[0]), atol=1e-5)
     assert float(jnp.abs(out[1] - base[1]).max()) > 1e-4
