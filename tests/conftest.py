@@ -21,6 +21,13 @@ if not os.environ.get("IEF_TEST_TPU"):
     # runtime cost at test shapes. IEF_TEST_OPT=1 restores full optimization.
     if not os.environ.get("IEF_TEST_OPT"):
         jax.config.update("jax_disable_most_optimizations", True)
+else:
+    # On the real chip, f32 matmuls default to single-pass bf16 — the
+    # suite's tight-tolerance semantics tests (written against the exact CPU
+    # path) need true f32. Production pipelines run bf16 and are unaffected.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
