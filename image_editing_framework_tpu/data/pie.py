@@ -67,11 +67,17 @@ class PIE:
 
 class PIEPrecomputedInversion(PIE):
     """PIE items with precomputed inversion artifacts
-    (reference PIE_NTI_Inversion, p2p/dataset/pie.py:25-51; artifacts are
-    .npz here instead of .pt).
+    (reference PIE_NTI_Inversion, p2p/dataset/pie.py:25-51).
 
-    Layout: <inversion_path>/<image_key>/inversion.npz with arrays
+    Native layout: <inversion_path>/<image_key>/inversion.npz with arrays
     ``latent`` (1,h,w,4) and ``uncond_seq`` (S,77,D).
+
+    Reference-layout interop: a directory holding the reference's
+    ``inversion_latent.pt`` (an NCHW torch tensor) +
+    ``uncond_embeddings_list.pt`` (a list of (1,77,D) tensors)
+    (p2p/dataset/pie.py:47-48) loads directly — tensors are converted to
+    NHWC / stacked (S,77,D) NumPy on read, so caches produced by the
+    reference's NTI runs drop in unchanged.
     """
 
     def __init__(self, dataset_path: str, inversion_path: str,
@@ -79,22 +85,50 @@ class PIEPrecomputedInversion(PIE):
         super().__init__(dataset_path, category)
         self.inversion_path = inversion_path
         missing = [
-            it.key
-            for it in self.items
-            if not os.path.exists(self._artifact(it))
+            it.key for it in self.items if self._artifact(it) is None
         ]
         if missing:
             raise ValueError(
                 f"The inversion files are not complete (missing {missing[:5]}...)"
             )
 
-    def _artifact(self, item: PIEItem) -> str:
-        return os.path.join(self.inversion_path, item.key, "inversion.npz")
+    def _artifact(self, item: PIEItem) -> Optional[str]:
+        """Path of the artifact that exists for this item (native .npz
+        preferred, reference .pt fallback), or None."""
+        d = os.path.join(self.inversion_path, item.key)
+        npz = os.path.join(d, "inversion.npz")
+        if os.path.exists(npz):
+            return npz
+        pt = os.path.join(d, "inversion_latent.pt")
+        return pt if os.path.exists(pt) else None
 
     def load_inversion(self, item: PIEItem):
-        data = np.load(self._artifact(item))
-        uncond = data["uncond_seq"] if "uncond_seq" in data.files else None
-        return data["latent"], uncond
+        path = self._artifact(item)
+        if path.endswith(".npz"):
+            data = np.load(path)
+            uncond = data["uncond_seq"] if "uncond_seq" in data.files else None
+            return data["latent"], uncond
+        return _load_reference_inversion(os.path.dirname(path))
+
+
+def _load_reference_inversion(d: str):
+    """Read a reference-produced inversion cache directory
+    (p2p/dataset/pie.py:47-48): ``inversion_latent.pt`` is an NCHW latent,
+    ``uncond_embeddings_list.pt`` a per-step list of (1,77,D) embeddings.
+    Returns (latent NHWC (1,h,w,4), uncond_seq (S,77,D) or None)."""
+    import torch  # CPU torch is in the environment; only needed on this path
+
+    lat = torch.load(
+        os.path.join(d, "inversion_latent.pt"), map_location="cpu",
+        weights_only=True,
+    )
+    latent = np.transpose(lat.float().numpy(), (0, 2, 3, 1))  # NCHW -> NHWC
+    uncond = None
+    upath = os.path.join(d, "uncond_embeddings_list.pt")
+    if os.path.exists(upath):
+        ulist = torch.load(upath, map_location="cpu", weights_only=True)
+        uncond = np.stack([u.float().numpy()[0] for u in ulist])  # (S,77,D)
+    return latent, uncond
 
 
 def save_inversion(inversion_path: str, key: str, latent, uncond_seq=None) -> None:

@@ -70,25 +70,30 @@ def _batched_invert(unet, params, sched, latents, conds, added, use_flash):
 )
 def _batched_edit(
     unet, params, sched, latents, contexts, ctrls, guidance, added,
-    uncond_seqs, use_flash, has_nti, ctrl_stacked=True,
+    uncond_seqs, use_flash, has_nti, ctrl_stacked=True, source_replays=None,
 ):
     """ctrl_stacked: True when controls differ per image (P2P mappers/alphas);
     False broadcasts ONE control to the whole group (MasaCtrl / PnP gates are
     prompt-independent). ``added`` is the per-image XL added-cond dict
-    (vmapped over the group) or None for SD."""
+    (vmapped over the group) or None for SD. ``source_replays`` is the
+    per-image inversion trajectory (G, S+1, 1, h, w, 4) for direct inversion
+    (each image's source branch replays its own trajectory) or None."""
 
-    def one(lat, ctx, c, useq, add):
+    def one(lat, ctx, c, useq, add, replay):
         return _denoise_scan(
             unet, params, sched, lat, ctx, c, guidance, add, useq,
-            LocalBlend(jnp.zeros((1, 77))), None, use_flash, False, False, None,
+            LocalBlend(jnp.zeros((1, 77))), replay, use_flash, False, False,
+            None,
         )[0]
 
     axes = (
         0, 0, 0 if ctrl_stacked else None, 0 if has_nti else None,
         0 if added is not None else None,
+        0 if source_replays is not None else None,
     )
     return jax.vmap(one, in_axes=axes)(
-        latents, contexts, ctrls, uncond_seqs if has_nti else None, added
+        latents, contexts, ctrls, uncond_seqs if has_nti else None, added,
+        source_replays,
     )
 
 
@@ -100,6 +105,7 @@ def p2p_edit_batch(
     guidance_scale: float = 7.5,
     uncond_seqs: Optional[jnp.ndarray] = None,  # (G, S, 77, D) NTI embeddings
     use_flash: bool = True,
+    source_replays: Optional[jnp.ndarray] = None,  # (G, S+1, 1, h, w, 4)
 ):
     """Edit G images in one compiled program. Returns (G, 2, H, W, 3) uint8."""
     g = len(prompt_pairs)
@@ -117,7 +123,7 @@ def p2p_edit_batch(
     final = _batched_edit(
         pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrls,
         jnp.asarray(guidance_scale, latents.dtype), added, uncond_seqs,
-        use_flash, uncond_seqs is not None,
+        use_flash, uncond_seqs is not None, source_replays=source_replays,
     )
     return _decode_pairs(pipe, final, g)
 
@@ -129,7 +135,8 @@ def _decode_pairs(pipe, final: jnp.ndarray, g: int):
 
 
 def _broadcast_ctrl_edit(
-    pipe, prompt_pairs, latents, ctrl, guidance_scale, uncond_seqs, use_flash
+    pipe, prompt_pairs, latents, ctrl, guidance_scale, uncond_seqs, use_flash,
+    source_replays=None,
 ):
     """Shared body for editors whose control is prompt-independent (one
     control pytree broadcasts to the whole group)."""
@@ -140,6 +147,7 @@ def _broadcast_ctrl_edit(
         pipe.unet, pipe.unet_params, pipe.scheduler, lat0, contexts, ctrl,
         jnp.asarray(guidance_scale, latents.dtype), added, uncond_seqs,
         use_flash, uncond_seqs is not None, ctrl_stacked=False,
+        source_replays=source_replays,
     )
     return _decode_pairs(pipe, final, g)
 
@@ -152,6 +160,7 @@ def masactrl_edit_batch(
     guidance_scale: float = 7.5,
     uncond_seqs: Optional[jnp.ndarray] = None,
     use_flash: bool = True,
+    source_replays: Optional[jnp.ndarray] = None,
 ):
     """Edit G images with MasaCtrl in one program. The mutual-attention gate
     is prompt-independent (a (steps, layers) table), so ONE control broadcasts
@@ -165,7 +174,8 @@ def masactrl_edit_batch(
         pipe.scheduler.num_steps, pipe.unet.config.num_transformer_blocks, cfg
     )
     return _broadcast_ctrl_edit(
-        pipe, prompt_pairs, latents, ctrl, guidance_scale, uncond_seqs, use_flash
+        pipe, prompt_pairs, latents, ctrl, guidance_scale, uncond_seqs,
+        use_flash, source_replays=source_replays,
     )
 
 
@@ -177,6 +187,7 @@ def pnp_edit_batch(
     guidance_scale: float = 7.5,
     uncond_seqs: Optional[jnp.ndarray] = None,
     use_flash: bool = True,
+    source_replays: Optional[jnp.ndarray] = None,
 ):
     """Edit G images with Plug-and-Play in one program (the injection gates
     are pure step tables — one control broadcasts)."""
@@ -192,7 +203,8 @@ def pnp_edit_batch(
         pipe.scheduler.num_steps, cfg, attn_layers, conv_keys
     )
     return _broadcast_ctrl_edit(
-        pipe, prompt_pairs, latents, ctrl, guidance_scale, uncond_seqs, use_flash
+        pipe, prompt_pairs, latents, ctrl, guidance_scale, uncond_seqs,
+        use_flash, source_replays=source_replays,
     )
 
 
@@ -268,10 +280,14 @@ def edit_batch(
     guidance_scale: float = 7.5,
     uncond_seqs=None,
     use_flash: bool = True,
+    source_replays=None,
 ):
     """Dispatch a batched edit for any of the four methods (the single
     method->editor mapping shared by the sweep driver and the service).
-    ``cfg`` is the method config; for p2p it may be a per-image list."""
+    ``cfg`` is the method config; for p2p it may be a per-image list.
+    ``source_replays`` (direct inversion, per-image trajectories) applies to
+    every method except p2z — the serial dispatcher ignores it there too
+    (cli.run_method): p2z's reconstruction pass IS its own source anchor."""
     if method == "p2p":
         cfgs = (
             list(cfg)
@@ -281,6 +297,7 @@ def edit_batch(
         return p2p_edit_batch(
             pipe, prompt_pairs, latents, cfgs, guidance_scale,
             uncond_seqs=uncond_seqs, use_flash=use_flash,
+            source_replays=source_replays,
         )
     fn = {
         "masactrl": masactrl_edit_batch,
@@ -289,9 +306,10 @@ def edit_batch(
     }.get(method)
     if fn is None:
         raise ValueError(f"unknown method {method}")
+    kw = {} if method == "p2z" else {"source_replays": source_replays}
     return fn(
         pipe, prompt_pairs, latents, cfg, guidance_scale,
-        uncond_seqs=uncond_seqs, use_flash=use_flash,
+        uncond_seqs=uncond_seqs, use_flash=use_flash, **kw,
     )
 
 
@@ -342,6 +360,9 @@ def nti_batch(pipe, trajectories, prompts, cfg=None, guidance_scale: float = 7.5
         added_conds = {
             "text_embeds": added["text_embeds"][g:][:, None],  # (G, 1, P)
             "time_ids": jnp.broadcast_to(tids[None], (g,) + tids.shape),
+            # NTI's uncond branch runs with the negative pooled embeds
+            # (masactrl/inversion/nti.py:59,75) — split out downstream.
+            "uncond_text_embeds": added["text_embeds"][:g][:, None],
         }
     return null_text_inversion_batch(
         pipe, trajectories, contexts, cfg or NTIConfig(),

@@ -54,9 +54,11 @@ def run_sweep(
     batch_size: int = 1,
     save_inversions: Optional[str] = None,
     inversion_path: Optional[str] = None,
+    use_flash: Optional[bool] = None,
 ) -> dict:
     """``batch_size`` > 1 edits image groups as one vmapped program (all four
-    methods; ddim or null-text inversion) — the throughput mode the
+    methods; ddim, null-text, or direct inversion; composes with
+    ``inversion_path``/``save_inversions``) — the throughput mode the
     reference's hook design precludes, and the recovery for batch-1
     inversion's MXU underutilization (BASELINE.md phase table).
     ``save_inversions`` writes the per-image inversion artifacts the
@@ -65,16 +67,23 @@ def run_sweep(
     inversion phase entirely (the reference's PIE_NTI_Inversion path,
     p2p/dataset/pie.py:25-51). Host-side PNG decode/encode runs on a worker
     pool (the reference's DataLoader num_workers=8, p2p/test.py:116)."""
-    if batch_size > 1 and inversion_type not in ("ddim", "null-text"):
-        raise ValueError("batched sweep supports ddim/null-text inversion")
+    if batch_size > 1 and inversion_type not in ("ddim", "null-text", "direct"):
+        raise ValueError("batched sweep supports ddim/null-text/direct inversion")
 
     from image_editing_framework_tpu.cli import invert, run_method
 
+    if use_flash is None:
+        # the kernel only compiles on TPU; a sweep driven onto CPU devices
+        # (virtual-mesh dryruns) must say use_flash=False explicitly — the
+        # ambient default backend may still be a TPU platform
+        use_flash = jax.default_backend() == "tpu"
     res = resolution or (1024 if pipe.model_type == "xl" else 512)
+    prev_tile = pipe.decode_tile_latent
     if pipe.model_type == "xl" and res >= 1024 and pipe.decode_tile_latent is None:
         # Memory-safety default: the full-frame 1024² decode's activations
         # don't fit next to the resident XL UNet + both text towers on one
         # 16 GB chip. Set pipe.decode_tile_latent yourself to override.
+        # Restored after the sweep — the pipe object outlives this call.
         pipe.decode_tile_latent = 64
     sampler = SamplerConfig(height=res, width=res, seed=seed)
     times = []
@@ -126,6 +135,15 @@ def run_sweep(
             from image_editing_framework_tpu.data.pie import save_inversion
             from image_editing_framework_tpu.eval import batched
 
+            cache = None
+            if inversion_path is not None:
+                from image_editing_framework_tpu.data.pie import (
+                    PIEPrecomputedInversion,
+                )
+
+                cache = PIEPrecomputedInversion(dataset_path, inversion_path)
+                cache_by_key = {it.key: it for it in cache.items}
+
             groups = [
                 pending[g0 : g0 + batch_size]
                 for g0 in range(0, len(pending), batch_size)
@@ -148,23 +166,53 @@ def run_sweep(
                 for item, image in zip(group, images):
                     os.makedirs(os.path.join(exp_path, item.key), exist_ok=True)
                     save_async(image, os.path.join(exp_path, item.key, "source.png"))
-                    lats.append(pipe.image2latent(image))
-                lats = jnp.stack(lats)  # (G, 1, h, w, 4)
+                    if cache is None:
+                        lats.append(pipe.image2latent(image))
                 src_prompts = [it.source_prompt for it in group]
-                inverted, trajs = batched.ddim_invert_batch(
-                    pipe, lats, src_prompts, return_trajectory=True
-                )
-                uncond_seqs = None
-                if inversion_type == "null-text":
-                    from image_editing_framework_tpu.cli import (
-                        GUIDANCE_SCALE,
-                        nti_config_for,
+                source_replays = uncond_seqs = None
+                if cache is not None:
+                    # precomputed-inversion consumer: skip the invert (and
+                    # NTI) phase entirely — the group's latents/uncond_seqs
+                    # come off disk (reference PIE_NTI_Inversion flow,
+                    # p2p/dataset/pie.py:25-51). No trajectory is cached, so
+                    # direct inversion degrades to ddim here exactly like the
+                    # serial cache path.
+                    loaded = [
+                        cache.load_inversion(cache_by_key[it.key])
+                        for it in group
+                    ]
+                    inverted = jnp.stack(
+                        [jnp.asarray(lat, pipe.dtype) for lat, _ in loaded]
                     )
+                    if inversion_type == "null-text":
+                        if any(u is None for u in (u for _, u in loaded)):
+                            raise ValueError(
+                                "null-text batched sweep from inversion_path "
+                                "needs a cached uncond_seq for every image"
+                            )
+                        uncond_seqs = jnp.stack(
+                            [jnp.asarray(u) for _, u in loaded]
+                        )
+                else:
+                    lats = jnp.stack(lats)  # (G, 1, h, w, 4)
+                    inverted, trajs = batched.ddim_invert_batch(
+                        pipe, lats, src_prompts, return_trajectory=True,
+                        use_flash=use_flash,
+                    )
+                    if inversion_type == "null-text":
+                        from image_editing_framework_tpu.cli import (
+                            GUIDANCE_SCALE,
+                            nti_config_for,
+                        )
 
-                    uncond_seqs = batched.nti_batch(
-                        pipe, trajs, src_prompts, nti_config_for(method, pipe),
-                        guidance_scale=GUIDANCE_SCALE,
-                    )
+                        uncond_seqs = batched.nti_batch(
+                            pipe, trajs, src_prompts, nti_config_for(method, pipe),
+                            guidance_scale=GUIDANCE_SCALE, use_flash=use_flash,
+                        )
+                    elif inversion_type == "direct":
+                        # per-image trajectory replay: traj (G, S+1, 1, ...)
+                        # is already the vmappable source_replay stack
+                        source_replays = trajs
                 if save_inversions:
                     for gi, (item, latv) in enumerate(zip(group, inverted)):
                         save_inversion(
@@ -182,6 +230,7 @@ def run_sweep(
                 imgs = batched.edit_batch(
                     method, pipe, pairs, inverted, mk_cfg,
                     sampler.guidance_scale, uncond_seqs=uncond_seqs,
+                    source_replays=source_replays, use_flash=use_flash,
                 )
                 tg = (time.perf_counter() - t0) / len(group)
                 for item, pair_imgs in zip(group, imgs):
@@ -219,13 +268,15 @@ def run_sweep(
                     traj = None
                 else:
                     latent, traj, uncond_seq = invert(
-                        pipe, image, item.source_prompt, inversion_type, method
+                        pipe, image, item.source_prompt, inversion_type, method,
+                        use_flash=use_flash,
                     )
                 if save_inversions:
                     from image_editing_framework_tpu.data.pie import save_inversion
 
                     save_inversion(save_inversions, item.key, latent, uncond_seq)
                 kw = dict(method_kwargs or {})
+                kw.setdefault("use_flash", use_flash)
                 if method == "p2p" and "config" not in kw:
                     kw["config"] = _auto_p2p_config(item.source_prompt, item.target_prompt)
                 replay = traj if inversion_type == "direct" else None
@@ -237,6 +288,7 @@ def run_sweep(
                 done += 1
     finally:
         pool.shutdown(wait=True)  # drain workers even on per-image failures
+        pipe.decode_tile_latent = prev_tile
     for fut in save_futures:
         fut.result()  # surface IO errors before declaring success
     wall = time.perf_counter() - t_start
@@ -252,6 +304,28 @@ def run_sweep(
         if len(times) > max(1, batch_size)
         else None,
     }
+    # memory observability for long-run stability evidence (SURVEY.md §5):
+    # device HBM peak (TPU runtimes expose memory_stats) + host peak RSS
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        peak = ms.get("peak_bytes_in_use")
+        if peak:
+            stats["device_peak_bytes"] = int(peak)
+    except Exception:
+        pass
+    try:
+        import resource
+
+        stats["host_peak_rss_mb"] = (
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        )
+    except Exception:
+        pass
+    if len(times) > max(1, batch_size):
+        tail = times[max(1, batch_size):]
+        stats["p50_s_per_image"] = round(float(np.percentile(tail, 50)), 3)
+        stats["p95_s_per_image"] = round(float(np.percentile(tail, 95)), 3)
+        stats["max_s_per_image"] = round(float(np.max(tail)), 3)
     os.makedirs(exp_path, exist_ok=True)
     with open(os.path.join(exp_path, f"sweep_stats_{method}_{shard_index}.json"), "w") as f:
         json.dump(stats, f, indent=2)

@@ -37,6 +37,18 @@ def _sha256_png(path: str) -> str:
         return hashlib.sha256(f.read()).hexdigest()
 
 
+def synth_source_image(seed: int, res: int) -> np.ndarray:
+    """Deterministic synthetic photo-ish input (smooth random field) so the
+    real-image flow (invert + edit + recon metrics) runs and hashes
+    reproducibly with no dataset in the environment."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    small = rng.rand(res // 16, res // 16, 3)
+    img = jax.image.resize(jnp.asarray(small), (res, res, 3), "cubic")
+    return np.asarray(jnp.round(jnp.clip(img, 0, 1) * 255).astype(jnp.uint8))
+
+
 def validate_pipeline(
     pipe,
     out_dir: str,
@@ -50,6 +62,7 @@ def validate_pipeline(
     clip_checkpoint: Optional[str] = None,
     lpips_weights: Optional[str] = None,
     use_flash: Optional[bool] = None,
+    provenance: Optional[str] = None,  # e.g. 'random_weights seed=42'
 ) -> dict:
     """Run every method e2e on ``pipe``; write PNGs + report.json.
 
@@ -82,6 +95,8 @@ def validate_pipeline(
         "num_steps": pipe.scheduler.num_steps,
         "model_type": pipe.model_type,
         "inversion_type": inversion_type,
+        "backend": jax.default_backend(),
+        "provenance": provenance or "loaded checkpoint",
         "methods": {},
     }
 
@@ -210,18 +225,36 @@ def main(argv=None) -> None:
     p.add_argument("--methods", type=str, default=",".join(METHODS))
     p.add_argument("--clip_checkpoint", type=str, default=None)
     p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--random_weights", action="store_true",
+                   help="production-shape pipeline with deterministic random "
+                        "weights (pipelines.random_pipeline) — the on-chip "
+                        "golden-hash anchor until checkpoints exist")
+    p.add_argument("--resolution", type=int, default=None)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
 
-    from image_editing_framework_tpu.models.registry import load_pipeline
+    if args.random_weights:
+        from image_editing_framework_tpu.pipelines import random_pipeline
 
-    pipe = load_pipeline(
-        args.sd_version, args.num_steps, dtype=jnp.bfloat16, path=args.path
-    )
-    res = 1024 if pipe.model_type == "xl" else 512
+        pipe = random_pipeline(
+            args.sd_version, args.num_steps, dtype=jnp.bfloat16, seed=args.seed
+        )
+    else:
+        from image_editing_framework_tpu.models.registry import load_pipeline
+
+        pipe = load_pipeline(
+            args.sd_version, args.num_steps, dtype=jnp.bfloat16, path=args.path
+        )
+    res = args.resolution or (1024 if pipe.model_type == "xl" else 512)
+    if pipe.model_type == "xl" and res >= 1024 and pipe.decode_tile_latent is None:
+        # same memory-safety default as the sweep driver: the full-frame
+        # 1024² decode doesn't fit next to the resident XL UNet + towers
+        pipe.decode_tile_latent = 64
     image = None
-    if args.source_image:
+    if args.source_image == "synth":
+        image = synth_source_image(args.seed, res)
+    elif args.source_image:
         image = load_image(args.source_image, res, res)
     report = validate_pipeline(
         pipe,
@@ -231,9 +264,15 @@ def main(argv=None) -> None:
         source_prompt=args.source_prompt,
         target_prompt=args.target_prompt,
         seed=args.seed,
+        resolution=args.resolution,
         inversion_type=args.inversion_type,
         clip_checkpoint=args.clip_checkpoint,
         lpips_weights=args.lpips_weights,
+        provenance=(
+            f"random_weights seed={args.seed} (pipelines.random_pipeline)"
+            if args.random_weights
+            else None
+        ),
     )
     print(json.dumps({m: e.get("syn_edit_sha256") for m, e in report["methods"].items()}, indent=2))
 

@@ -55,7 +55,10 @@ def ddim_invert(
     ``added_cond`` is the batch-1 conditioning dict the inversion itself used
     (text_embeds + time_ids for XL, None for SD) so callers can hand it
     straight to null_text_inversion (the reference's NTI_XL added_cond_kwargs,
-    masactrl/inversion/nti.py:55-66).
+    masactrl/inversion/nti.py:55-66). For XL it also carries
+    ``uncond_text_embeds`` (the negative pooled embeds) — NTI evaluates its
+    uncond branch with those (masactrl/inversion/nti.py:59,75); the inversion
+    scan itself is cond-only and ignores the extra key.
     """
     context, added = pipe.encode_prompts([prompt])
     cond = context[1:]  # (1, 77, D)
@@ -69,4 +72,6 @@ def ddim_invert(
     last, traj = _invert_scan(
         pipe.unet, pipe.unet_params, pipe.scheduler, latent, cond, added_cond, use_flash
     )
+    if added_cond is not None:
+        added_cond = dict(added_cond, uncond_text_embeds=added["text_embeds"][:1])
     return last, traj, context, added_cond

@@ -16,6 +16,13 @@ Variant semantics: the SD NTI *carries* the optimized embedding into the next
 step's initialization (nti.py:15 reuses the loop variable); the XL variant
 *resets* to the original negative embedding each step (nti.py:61) —
 ``reset_each_step`` selects this.
+
+XL added-cond semantics (masactrl/inversion/nti.py:58-66): the cond UNet
+evaluation uses the *pooled prompt* embeds while every uncond evaluation uses
+the *negative pooled* embeds (time_ids are shared) — ``added_uncond`` carries
+the latter. Callers that only have the inversion-time dict can pass an
+``added_cond`` containing the extra key ``uncond_text_embeds`` (as returned by
+``ddim_invert``) and the split happens here.
 """
 
 from __future__ import annotations
@@ -46,6 +53,7 @@ def _nti_scan(
     lr_decay_span,
     epsilon,
     added_cond,
+    added_uncond,
     num_inner_steps: int,
     reset_each_step: bool,
     use_flash: bool,
@@ -61,8 +69,11 @@ def _nti_scan(
     cond_emb = cond_emb.astype(jnp.float32)
     trajectory = trajectory.astype(jnp.float32)
 
-    def unet_eps(lat, t, ctx, flash):
-        eps, _ = unet.apply(unet_params, lat, t, ctx, None, added_cond, flash)
+    if added_uncond is None:
+        added_uncond = added_cond
+
+    def unet_eps(lat, t, ctx, add, flash):
+        eps, _ = unet.apply(unet_params, lat, t, ctx, None, add, flash)
         return eps
 
     def outer(carry, i):
@@ -70,10 +81,10 @@ def _nti_scan(
         target = trajectory[s - 1 - i]
         t = sched.timesteps[i]
         lr = base_lr * (1.0 - i.astype(jnp.float32) / lr_decay_span)
-        eps_c = unet_eps(latent_cur, t, cond_emb, use_flash)
+        eps_c = unet_eps(latent_cur, t, cond_emb, added_cond, use_flash)
 
         def loss_fn(u):
-            eps_u = unet_eps(latent_cur, t, u, use_flash)
+            eps_u = unet_eps(latent_cur, t, u, added_uncond, use_flash)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
             prev = ddim_step(sched, eps, i, latent_cur)
             return jnp.mean((prev - target) ** 2)
@@ -106,7 +117,7 @@ def _nti_scan(
         u_opt, _, _, _, _ = jax.lax.while_loop(cond_fun, body_fun, state)
 
         # Advance latent with the optimized embedding (nti.py:37-43).
-        eps_u = unet_eps(latent_cur, t, u_opt, use_flash)
+        eps_u = unet_eps(latent_cur, t, u_opt, added_uncond, use_flash)
         eps = eps_u + guidance_scale * (eps_c - eps_u)
         latent_next = ddim_step(sched, eps, i, latent_cur)
         return (latent_next, u_opt), u_opt[0]
@@ -115,6 +126,18 @@ def _nti_scan(
         outer, (trajectory[-1], uncond0), jnp.arange(s)
     )
     return uncond_seq  # (S, 77, D)
+
+
+def _split_added(added_cond):
+    """Split an added-cond dict carrying ``uncond_text_embeds`` into the
+    (cond, uncond) pair the XL NTI evaluates its two branches with
+    (masactrl/inversion/nti.py:58-59: added_cond_kwargs vs added_uncond_kwargs;
+    time_ids are shared, :57)."""
+    if added_cond is None or "uncond_text_embeds" not in added_cond:
+        return added_cond, None
+    cond = {"text_embeds": added_cond["text_embeds"], "time_ids": added_cond["time_ids"]}
+    uncond = {"text_embeds": added_cond["uncond_text_embeds"], "time_ids": added_cond["time_ids"]}
+    return cond, uncond
 
 
 def null_text_inversion_batch(
@@ -135,7 +158,9 @@ def null_text_inversion_batch(
     """
     import jax
 
-    def one(traj, ctx, add):
+    added_conds, added_unconds = _split_added(added_conds)
+
+    def one(traj, ctx, add, add_u):
         return _nti_scan(
             pipe.unet,
             pipe.unet_params,
@@ -148,13 +173,21 @@ def null_text_inversion_batch(
             jnp.asarray(cfg.lr_decay_span, jnp.float32),
             jnp.asarray(cfg.epsilon, jnp.float32),
             add,
+            add_u,
             cfg.num_inner_steps,
             pipe.model_type == "xl",
             use_flash,
         )
 
-    axes = (0, 0, 0 if added_conds is not None else None)
-    return jax.vmap(one, in_axes=axes)(trajectories, contexts, added_conds)
+    axes = (
+        0,
+        0,
+        0 if added_conds is not None else None,
+        0 if added_unconds is not None else None,
+    )
+    return jax.vmap(one, in_axes=axes)(
+        trajectories, contexts, added_conds, added_unconds
+    )
 
 
 def null_text_inversion(
@@ -168,6 +201,7 @@ def null_text_inversion(
 ) -> jnp.ndarray:
     """Returns per-step optimized uncond embeddings (S, 77, D)."""
     uncond0, cond = context[:1], context[1:]
+    added_cond, added_uncond = _split_added(added_cond)
     return _nti_scan(
         pipe.unet,
         pipe.unet_params,
@@ -180,6 +214,7 @@ def null_text_inversion(
         jnp.asarray(cfg.lr_decay_span, jnp.float32),
         jnp.asarray(cfg.epsilon, jnp.float32),
         added_cond,
+        added_uncond,
         cfg.num_inner_steps,
         pipe.model_type == "xl",
         use_flash,

@@ -12,20 +12,31 @@ import jax
 import numpy as np
 
 
-def fast_random_params(module, *args, seed: int = 0, scale: float = 0.02, **kwargs):
+def fast_random_params(
+    module, *args, seed: int = 0, scale: float = 0.02, realistic: bool = False,
+    **kwargs,
+):
     """Shape-inferred param tree filled with N(0, scale^2), generated ON
     DEVICE per leaf in the leaf's dtype inside one jit (no giant init graph
     to compile, no multi-GB host->device transfer, no float32 staging buffer
-    — a single flat f32 draw would need 10.3 GB for SDXL)."""
+    — a single flat f32 draw would need 10.3 GB for SDXL).
+
+    ``realistic=True`` centers norm ``scale`` leaves at 1.0 instead of 0 so
+    the network is *live* (pure N(0, 0.02) norm scales attenuate activations
+    to ~0 after a few blocks, which would make golden-output hashes
+    insensitive to kernel changes — the validation runway's whole point)."""
     skeleton = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
-    leaves, treedef = jax.tree_util.tree_flatten(skeleton)
+    leaves_p, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
 
     @jax.jit
     def make(key):
         out = []
-        for i, leaf in enumerate(leaves):
+        for i, (path, leaf) in enumerate(leaves_p):
             k = jax.random.fold_in(key, i)
-            out.append(jax.random.normal(k, leaf.shape, leaf.dtype) * scale)
+            x = jax.random.normal(k, leaf.shape, leaf.dtype) * scale
+            if realistic and getattr(path[-1], "key", None) == "scale":
+                x = x + 1.0  # weak-typed: stays in the leaf's dtype
+            out.append(x)
         return jax.tree_util.tree_unflatten(treedef, out)
 
     return make(jax.random.PRNGKey(seed))

@@ -176,11 +176,16 @@ class Attention(nn.Module):
             out = apply_probs(probs, v)
         else:
             # masked variants; ``running`` = records from earlier sites of
-            # this same forward (same-pass MaskAuto aggregation)
-            out = ctrl.self_override(site, q, k, v, running, use_flash)
+            # this same forward (same-pass MaskAuto aggregation). The CP mesh
+            # threads into the override too — masked MasaCtrl at long-seq
+            # sites runs ring/Ulysses attention like the plan path.
+            mesh = self.cp_mesh if x.shape[1] >= self.cp_min_seq else None
+            out = ctrl.self_override(
+                site, q, k, v, running, use_flash, cp_mesh=mesh,
+                cp_mode=self.cp_mode,
+            )
             if out is None:
                 plan = ctrl.self_plan(site, x.shape[0])
-                mesh = self.cp_mesh if x.shape[1] >= self.cp_min_seq else None
                 out = self_attention(
                     q, k, v, plan, use_flash=use_flash, cp_mesh=mesh,
                     cp_mode=self.cp_mode,

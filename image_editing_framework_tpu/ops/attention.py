@@ -96,6 +96,7 @@ def self_attention(
     cp_mesh=None,
     cp_axis: str = "data",
     cp_mode: str = "ring",
+    bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused self-attention with optional batch-index remapping.
 
@@ -106,9 +107,11 @@ def self_attention(
     with it (gathers run before the CP collective), including the
     multi-segment bias path (MasaCtrl union): the per-key bias shards and
     rotates with K/V. ``use_flash`` selects the Pallas local step inside CP.
+    ``bias`` is an explicit per-key additive logit bias (B, Nk) — the masked
+    MasaCtrl primitives — added to any plan-segment bias (it addresses the
+    post-gather key layout) and CP-sharded like K.
     """
     b, h, n, d = q.shape
-    bias = None
     if plan is not None:
         q = q[plan.q_idx]
         s = plan.k_idx.shape[1]
@@ -118,7 +121,8 @@ def self_attention(
         v = v.transpose(0, 2, 1, 3, 4).reshape(b, h, s * n, d)
         if s > 1:
             seg = jnp.where(plan.valid, 0.0, NEG_INF).astype(jnp.float32)  # (B,S)
-            bias = jnp.repeat(seg, n, axis=1)  # (B, S*N)
+            seg = jnp.repeat(seg, n, axis=1)  # (B, S*N)
+            bias = seg if bias is None else bias + seg
     if cp_mesh is not None:
         from image_editing_framework_tpu.parallel.ring_attention import (
             ring_self_attention,
@@ -155,20 +159,21 @@ def masked_attention(
     v: jnp.ndarray,
     bias: jnp.ndarray,
     use_flash: Optional[bool] = None,
+    cp_mesh=None,
+    cp_axis: str = "data",
+    cp_mode: str = "ring",
 ) -> jnp.ndarray:
     """Attention with a per-key additive logit bias (B, Nk) — the masked
-    MasaCtrl primitives (masactrl/model/attention_control.py:142-151)."""
+    MasaCtrl primitives (masactrl/model/attention_control.py:142-151).
+    ``cp_mesh`` runs it context-parallel (the bias shards/rotates with K)."""
     import jax as _jax
 
     if use_flash is None:
         use_flash = _jax.default_backend() == "tpu"
-    if use_flash:
-        return flash_attention(q, k, v, bias)
-    d = q.shape[-1]
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / math.sqrt(d)
-    s = s + bias[:, None, None, :]
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return self_attention(
+        q, k, v, None, use_flash=use_flash, cp_mesh=cp_mesh, cp_axis=cp_axis,
+        cp_mode=cp_mode, bias=bias,
+    )
 
 
 def cross_attention_probs(

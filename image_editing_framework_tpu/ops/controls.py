@@ -50,7 +50,7 @@ class NoneStep:
         return None
 
     def self_override(self, site: AttnSite, q, k, v, running=None,
-                      use_flash=None):
+                      use_flash=None, cp_mesh=None, cp_mode="ring"):
         """Full custom self-attention output (masked MasaCtrl variants);
         None means use the plan/flash path. Static per control type.
         ``use_flash`` selects the kernel vs XLA attention path for the
@@ -62,7 +62,12 @@ class NoneStep:
         the same UNet forward* (the UNet threads its records dict down in
         execution order) — MaskAuto derives its masks from it, matching the
         reference's same-pass cross-attention aggregation
-        (masactrl/model/attention_control.py:276-296)."""
+        (masactrl/model/attention_control.py:276-296).
+
+        ``cp_mesh``/``cp_mode`` thread the UNet's context parallelism into
+        the override's internal attention calls (the per-key fg/bg bias
+        shards and rotates with K), so masked variants at long-sequence
+        sites scale over the mesh like every plan-path site."""
         return None
 
     def bind_store(self, store, step_index):
@@ -282,7 +287,7 @@ class MasaCtrlMaskStep(MasaCtrlStep):
         return m.reshape(-1)  # (N,)
 
     def self_override(self, site: AttnSite, q, k, v, running=None,
-                      use_flash=None):
+                      use_flash=None, cp_mesh=None, cp_mode="ring"):
         if site.layer not in self.layers:
             return None
         import jax as _jax
@@ -292,6 +297,7 @@ class MasaCtrlMaskStep(MasaCtrlStep):
 
         if use_flash is None:
             use_flash = _jax.default_backend() == "tpu"
+        cp = dict(cp_mesh=cp_mesh, cp_mode=cp_mode)
         b, h, n, d = q.shape
         p = self.num_prompts
         iota = jnp.arange(b, dtype=jnp.int32)
@@ -303,7 +309,7 @@ class MasaCtrlMaskStep(MasaCtrlStep):
         # as the masked calls below (hardcoding the XLA path here ran source
         # rows at DEFAULT matmul precision on TPU while every other site
         # used the kernel).
-        normal = attn_ops.self_attention(q, k, v, None, use_flash=use_flash)
+        normal = attn_ops.self_attention(q, k, v, None, use_flash=use_flash, **cp)
         # fg / bg outputs: all queries vs source K/V restricted by mask.
         k_src, v_src = k[half_src], v[half_src]
         bias_fg = jnp.broadcast_to(
@@ -312,8 +318,8 @@ class MasaCtrlMaskStep(MasaCtrlStep):
         bias_bg = jnp.broadcast_to(
             jnp.where(ms > 0.5, NEG_INF, 0.0)[None, :], (b, n)
         )
-        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg, use_flash)
-        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg, use_flash)
+        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg, use_flash, **cp)
+        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg, use_flash, **cp)
         blended = out_fg * mt[None, None, :, None] + out_bg * (
             1.0 - mt[None, None, :, None]
         )
@@ -374,7 +380,7 @@ class MasaCtrlAutoStep(MasaCtrlStep):
         return None  # all logic lives in self_override
 
     def self_override(self, site: AttnSite, q, k, v, running=None,
-                      use_flash=None):
+                      use_flash=None, cp_mesh=None, cp_mode="ring"):
         if site.layer not in self.layers:
             return None
         import jax as _jax
@@ -384,15 +390,16 @@ class MasaCtrlAutoStep(MasaCtrlStep):
 
         if use_flash is None:
             use_flash = _jax.default_backend() == "tpu"
+        cp = dict(cp_mesh=cp_mesh, cp_mode=cp_mode)
         b, h, n, d = q.shape
         p = self.num_prompts
         iota = jnp.arange(b, dtype=jnp.int32)
         half_src = (iota // p) * p
         k_src, v_src = k[half_src], v[half_src]
 
-        normal = attn_ops.self_attention(q, k, v, None, use_flash=use_flash)
+        normal = attn_ops.self_attention(q, k, v, None, use_flash=use_flash, **cp)
         mutual = attn_ops.self_attention(
-            q, k_src, v_src, None, use_flash=use_flash
+            q, k_src, v_src, None, use_flash=use_flash, **cp
         )
 
         if not running:
@@ -409,8 +416,8 @@ class MasaCtrlAutoStep(MasaCtrlStep):
         mt_bin = (mt >= self.thres).astype(jnp.float32)
         bias_fg = jnp.broadcast_to(jnp.where(ms_bin > 0.5, 0.0, NEG_INF)[None], (b, n))
         bias_bg = jnp.broadcast_to(jnp.where(ms_bin > 0.5, NEG_INF, 0.0)[None], (b, n))
-        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg, use_flash)
-        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg, use_flash)
+        out_fg = attn_ops.masked_attention(q, k_src, v_src, bias_fg, use_flash, **cp)
+        out_bg = attn_ops.masked_attention(q, k_src, v_src, bias_bg, use_flash, **cp)
         masked = out_fg * mt_bin[None, None, :, None] + out_bg * (
             1.0 - mt_bin[None, None, :, None]
         )

@@ -227,6 +227,98 @@ class SDPipeline:
         )
 
 
+def random_pipeline(
+    sd_version: str = "1.5",
+    num_steps: int = 50,
+    dtype: Any = jnp.bfloat16,
+    seed: int = 0,
+):
+    """Production-SHAPE pipeline with deterministic random weights.
+
+    Same architectures the registry loads (SD1.5/2.1 UNet+CLIP-L/H, SDXL
+    UNet+CLIP-L+bigG, full VAE) but weights from ``fast_random_params``
+    (realistic=True: norm scales centered at 1 so the network is live) —
+    identical compute cost to trained checkpoints. This is the on-chip
+    golden-hash anchor until real weights exist: a kernel or model change
+    that alters outputs flips the committed validation hashes
+    (the reference's committed exp/*.png serve this role,
+    p2p/edit_real.py:173-174)."""
+    from image_editing_framework_tpu.models import configs
+    from image_editing_framework_tpu.models.clip import (
+        CLIP_VIT_L,
+        OPEN_CLIP_BIG_G,
+        OPEN_CLIP_VIT_H,
+        CLIPTextModel,
+    )
+    from image_editing_framework_tpu.models.init_utils import fast_random_params
+    from image_editing_framework_tpu.models.tokenizer import WordTokenizer
+    from image_editing_framework_tpu.models.vae import VAEConfig
+
+    is_xl = sd_version.startswith("xl")
+    is_21 = sd_version.startswith("2")
+    unet_cfg = (
+        configs.SDXL_UNET if is_xl else configs.SD21_UNET if is_21
+        else configs.SD15_UNET
+    )
+    unet = UNet2DCondition(unet_cfg, dtype=dtype)
+    ctx_dim = unet_cfg.cross_attention_dim
+    # init at tiny spatial shapes: conv/attn param shapes are spatial-
+    # independent, and eval_shape at 16x16 is instant
+    lat = jnp.zeros((1, 16, 16, 4), dtype)
+    ctx = jnp.zeros((1, 77, ctx_dim), dtype)
+    added = (
+        {
+            "text_embeds": jnp.zeros((1, 1280), dtype),
+            "time_ids": jnp.zeros((1, 6), dtype),
+        }
+        if is_xl
+        else None
+    )
+    unet_params = fast_random_params(
+        unet, lat, 0, ctx, None, added, False, seed=seed, realistic=True
+    )
+
+    vae = AutoencoderKL(VAEConfig(), dtype=dtype)
+    vae_params = fast_random_params(
+        vae, jnp.zeros((1, 64, 64, 3), dtype), seed=seed + 1, realistic=True
+    )
+
+    tokenizer = WordTokenizer(vocab_size=49408)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    if is_xl:
+        text = CLIPTextModel(CLIP_VIT_L, dtype=dtype)
+        text2 = CLIPTextModel(OPEN_CLIP_BIG_G, dtype=dtype)
+        pipe = SDPipeline(
+            model_type="xl",
+            unet=unet,
+            unet_params=unet_params,
+            vae=vae,
+            vae_params=vae_params,
+            text_encoder=text,
+            text_params=fast_random_params(text, ids, seed=seed + 2, realistic=True),
+            tokenizer=tokenizer,
+            scheduler=make_ddim_schedule(num_steps),
+            text_encoder_2=text2,
+            text_params_2=fast_random_params(text2, ids, seed=seed + 3, realistic=True),
+            tokenizer_2=tokenizer,
+            dtype=dtype,
+        )
+        return pipe
+    text = CLIPTextModel(OPEN_CLIP_VIT_H if is_21 else CLIP_VIT_L, dtype=dtype)
+    return SDPipeline(
+        model_type="sd",
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        text_encoder=text,
+        text_params=fast_random_params(text, ids, seed=seed + 2, realistic=True),
+        tokenizer=tokenizer,
+        scheduler=make_ddim_schedule(num_steps),
+        dtype=dtype,
+    )
+
+
 def tiny_pipeline(
     num_steps: int = 50,
     model_type: str = "sd",

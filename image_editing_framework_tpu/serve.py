@@ -9,6 +9,14 @@ Transport is a filesystem spool (works everywhere, no extra deps): drop
 ``<name>.json`` request files into ``<root>/requests/``; results appear under
 ``<root>/results/<name>/`` with a ``response.json`` and the output PNGs.
 
+Intake is atomic-write friendly: writers SHOULD write to a temp name (a
+leading dot or any non-``.json`` suffix, e.g. ``.json.tmp``) and ``rename``
+into place — the poller only picks up ``*.json``. A half-written file that
+does slip in (torn write from a non-renaming client) is NOT dropped: parse
+failures are retried for ``PARSE_RETRIES`` polls (the writer gets time to
+finish) and only then answered with an error, with the original bytes
+preserved under ``<root>/rejected/`` — a request is never deleted unparsed.
+
 Request schema:
   {"method": "p2p" | "masactrl" | "pnp" | "p2z",
    "source_prompt": str, "target_prompt": str,
@@ -74,9 +82,15 @@ class EditService:
         self.max_batch = max_batch
         self.requests_dir = os.path.join(root, "requests")
         self.results_dir = os.path.join(root, "results")
+        self.rejected_dir = os.path.join(root, "rejected")
         os.makedirs(self.requests_dir, exist_ok=True)
         os.makedirs(self.results_dir, exist_ok=True)
         self.stats = {"handled": 0, "batched": 0}
+        self._parse_failures: dict = {}  # fname -> failed poll count
+
+    #: polls a torn request file gets to finish being written before it is
+    #: rejected (writers that rename() into place never hit this path)
+    PARSE_RETRIES = 3
 
     def handle(self, name: str, req: dict) -> dict:
         from image_editing_framework_tpu.cli import invert, run_method
@@ -227,11 +241,20 @@ class EditService:
                 with open(path) as f:
                     req = json.load(f)
             except Exception as e:
-                self._respond(name, {
-                    "status": "error", "error": f"{type(e).__name__}: {e}",
-                })
-                os.remove(path)
+                # Possibly a torn write from a client that didn't rename()
+                # into place: leave the file for a few polls before rejecting,
+                # and even then keep the bytes — never lose a request.
+                n_fail = self._parse_failures.get(fname, 0) + 1
+                self._parse_failures[fname] = n_fail
+                if n_fail > self.PARSE_RETRIES:
+                    self._respond(name, {
+                        "status": "error", "error": f"{type(e).__name__}: {e}",
+                    })
+                    os.makedirs(self.rejected_dir, exist_ok=True)
+                    os.replace(path, os.path.join(self.rejected_dir, fname))
+                    del self._parse_failures[fname]
                 continue
+            self._parse_failures.pop(fname, None)
             pending.append((name, path, req))
 
         # group compatible requests; None-keyed ones run serially

@@ -98,6 +98,28 @@ def test_batched_p2z_matches_per_image():
 
 
 @pytest.mark.slow
+def test_batched_direct_inversion_matches_per_image():
+    """Direct inversion (per-image trajectory replay) batches == serial."""
+    pipe = tiny_pipeline(num_steps=4)
+    pairs = [["a cat sat", "a dog sat"], ["a cat sat", "a fluffy cat sat"]]
+    cfgs = [P2PConfig(edit_type="replace"), P2PConfig(edit_type="refine")]
+    lats = jax.random.normal(jax.random.PRNGKey(9), (2, 1, 16, 16, 4)) * 0.1
+    inverted, trajs = ddim_invert_batch(
+        pipe, lats, [p[0] for p in pairs], return_trajectory=True
+    )
+    batched = p2p_edit_batch(pipe, pairs, inverted, cfgs, source_replays=trajs)
+    assert batched.shape == (2, 2, 32, 32, 3)
+    for i, (pair, cfg) in enumerate(zip(pairs, cfgs)):
+        single_lat, straj, _, _ = ddim_invert(pipe, lats[i], pair[0])
+        single = p2p_edit(
+            pipe, pair, single_lat, cfg, SAMPLER, source_replay=straj
+        )
+        np.testing.assert_allclose(
+            batched[i].astype(np.int32), single.astype(np.int32), atol=1
+        )
+
+
+@pytest.mark.slow
 def test_batched_inversion_matches_per_image():
     pipe = tiny_pipeline(num_steps=4)
     lats = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 16, 4)) * 0.1

@@ -194,6 +194,75 @@ def test_ulysses_ring_2d_kernel_and_grads(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-3, rtol=5e-3)
 
 
+def test_masked_masactrl_override_under_cp(mesh):
+    """MasaCtrl Mask/MaskAuto overrides thread the CP mesh: their internal
+    normal/mutual/fg/bg attention calls run ring (or Ulysses) context-
+    parallel and match the single-device override exactly. Semantics:
+    masactrl/model/attention_control.py:142-151."""
+    from image_editing_framework_tpu.ops.attention import AttnSite
+    from image_editing_framework_tpu.ops.controls import (
+        MasaCtrlAutoStep,
+        MasaCtrlMaskStep,
+    )
+
+    b, h, n, d = 4, 2, 256, 16  # B = 2P, p = 2
+    q, k, v = _qkv(jax.random.PRNGKey(11), b, h, n, d)
+    site = AttnSite(layer=0, place="down", seq_len=n, is_cross=False)
+    rng = np.random.RandomState(0)
+    mask_s = jnp.asarray((rng.rand(16, 16) > 0.5).astype(np.float32))
+    mask_t = jnp.asarray((rng.rand(16, 16) > 0.5).astype(np.float32))
+
+    step = MasaCtrlMaskStep(
+        step_gate=jnp.asarray(True), layers=(0,), num_prompts=2,
+        mask_s=mask_s, mask_t=mask_t,
+    )
+    ref = step.self_override(site, q, k, v, None, use_flash=False)
+    out = step.self_override(
+        site, q, k, v, None, use_flash=False, cp_mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # auto-masked variant with same-pass records
+    auto = MasaCtrlAutoStep(
+        step_gate=jnp.asarray(True), layers=(0,), num_prompts=2,
+    )
+    running = {
+        "down_l0_cross": jax.random.uniform(jax.random.PRNGKey(12), (4, 256, 77))
+    }
+    ref_a = auto.self_override(site, q, k, v, running, use_flash=False)
+    out_a = auto.self_override(
+        site, q, k, v, running, use_flash=False, cp_mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_unet_masked_masactrl_with_cp_matches(mesh):
+    """End-to-end: a CP-enabled UNet running the masked MasaCtrl control ==
+    the plain UNet (the override used to bypass the mesh entirely)."""
+    from image_editing_framework_tpu.core.config import MasaCtrlConfig
+    from image_editing_framework_tpu.models import configs
+    from image_editing_framework_tpu.models.unet import UNet2DCondition
+    from image_editing_framework_tpu.ops.controls import build_masactrl_control
+
+    base = UNet2DCondition(configs.TINY_UNET)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 4)) * 0.1
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (4, 77, 32))
+    params = base.init(jax.random.PRNGKey(2), x, 10, ctx, None, None, False)
+    rng = np.random.RandomState(1)
+    ctrl = build_masactrl_control(
+        4, configs.TINY_UNET.num_transformer_blocks,
+        MasaCtrlConfig(start_step=0, start_layer=0),
+        mask_s=(rng.rand(16, 16) > 0.5).astype(np.float32),
+        mask_t=(rng.rand(16, 16) > 0.5).astype(np.float32),
+    )
+    step = ctrl.at_step(1)
+    ref, _ = base.apply(params, x, 10, ctx, step, None, False)
+    cp = UNet2DCondition(configs.TINY_UNET, cp_mesh=mesh, cp_min_seq=64)
+    out, _ = cp.apply(params, x, 10, ctx, step, None, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.slow
 def test_unet_with_context_parallel_matches(mesh):
     """UNet with ring-attention CP == plain UNet (8-dev mesh, low threshold)."""

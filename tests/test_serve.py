@@ -64,6 +64,64 @@ def test_service_handles_requests(tmp_path):
     assert r3["status"] == "error" and "nope" in r3["error"]
 
 
+def test_service_spool_intake_is_atomic(tmp_path):
+    """A slowly-written (torn) request must be retried, then processed once
+    complete — never answered with an error or deleted unparsed. A file that
+    stays unparseable is rejected after PARSE_RETRIES polls with its bytes
+    preserved under rejected/."""
+    pipe = tiny_pipeline(num_steps=4)
+    svc = EditService(pipe, str(tmp_path), resolution=32)
+
+    # temp-suffix files (the documented atomic protocol) are never picked up
+    tmp_file = os.path.join(svc.requests_dir, "slow.json.tmp")
+    with open(tmp_file, "w") as f:
+        f.write('{"method": "p2p", "source_prompt": "a cat sat",')
+    assert svc.poll_once() == 0
+
+    # a torn .json (non-renaming writer, mid-write) is left for later polls
+    torn = os.path.join(svc.requests_dir, "slow.json")
+    with open(torn, "w") as f:
+        f.write('{"method": "p2p", "source_prompt": "a cat sat",')
+    assert svc.poll_once() == 0
+    assert os.path.exists(torn)  # NOT deleted
+    assert not os.path.exists(
+        os.path.join(svc.results_dir, "slow", "response.json")
+    )  # NOT errored
+
+    # the writer finishes: the request is processed normally
+    with open(torn, "w") as f:
+        json.dump(
+            {
+                "method": "p2p",
+                "source_prompt": "a cat sat",
+                "target_prompt": "a dog sat",
+                "image_path": None,
+                "seed": 1,
+            },
+            f,
+        )
+    assert svc.poll_once() == 1
+    r = json.load(open(os.path.join(svc.results_dir, "slow", "response.json")))
+    assert r["status"] == "ok"
+
+    # permanently-bad bytes: rejected after PARSE_RETRIES further polls,
+    # original bytes preserved
+    bad = os.path.join(svc.requests_dir, "bad.json")
+    with open(bad, "w") as f:
+        f.write("{never json")
+    for _ in range(svc.PARSE_RETRIES):
+        assert svc.poll_once() == 0
+        assert os.path.exists(bad)
+    assert svc.poll_once() == 0  # retry budget exhausted -> rejected
+    assert not os.path.exists(bad)
+    assert os.path.exists(os.path.join(svc.rejected_dir, "bad.json"))
+    assert (
+        open(os.path.join(svc.rejected_dir, "bad.json")).read() == "{never json"
+    )
+    r = json.load(open(os.path.join(svc.results_dir, "bad", "response.json")))
+    assert r["status"] == "error"
+
+
 @pytest.mark.slow
 def test_service_batches_compatible_requests(tmp_path):
     """Compatible queued requests run as ONE vmapped program."""

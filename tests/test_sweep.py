@@ -93,6 +93,78 @@ def test_precomputed_inversion_cache(mini_pie, tmp_path):
     assert latent.shape == (1, 8, 8, 4) and uncond.shape == (4, 77, 32)
 
 
+def test_precomputed_inversion_reference_pt_layout(mini_pie, tmp_path):
+    """Reference-produced .pt artifact directories load directly
+    (p2p/dataset/pie.py:47-48: NCHW inversion_latent.pt + a per-step list in
+    uncond_embeddings_list.pt), converted to the framework's NHWC / stacked
+    layout on read."""
+    import torch
+
+    inv = str(tmp_path / "inv_pt")
+    data = PIE(mini_pie, category=0)
+    rng = np.random.RandomState(7)
+    lat_nchw = rng.randn(1, 4, 8, 8).astype(np.float32)
+    ulist = [torch.from_numpy(rng.randn(1, 77, 32).astype(np.float32))
+             for _ in range(4)]
+    for item in data.items:
+        d = os.path.join(inv, item.key)
+        os.makedirs(d, exist_ok=True)
+        torch.save(torch.from_numpy(lat_nchw), os.path.join(d, "inversion_latent.pt"))
+        torch.save(ulist, os.path.join(d, "uncond_embeddings_list.pt"))
+    # completeness check accepts the reference layout for non-category items
+    for item in PIE(mini_pie).items:
+        d = os.path.join(inv, item.key)
+        if not os.path.exists(d):
+            save_inversion(inv, item.key, np.zeros((1, 8, 8, 4), np.float32))
+    ds = PIEPrecomputedInversion(mini_pie, inv, category=0)
+    latent, uncond = ds.load_inversion(ds[0])
+    assert latent.shape == (1, 8, 8, 4)
+    np.testing.assert_allclose(latent, np.transpose(lat_nchw, (0, 2, 3, 1)))
+    assert uncond.shape == (4, 77, 32)
+    np.testing.assert_allclose(uncond[2], ulist[2].numpy()[0])
+    # mixed layouts in one cache dir: a sweep consumes the .pt artifacts
+    pipe = tiny_pipeline(num_steps=4)
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, str(tmp_path / "exp_pt"), inversion_type="ddim",
+        categories=(0,), max_items=1, resolution=32, inversion_path=inv,
+    )
+    assert stats["images_done"] == 1
+
+
+def test_sweep_batched_direct_inversion(mini_pie, tmp_path):
+    """batch_size>1 composes with direct inversion: each image's source
+    branch replays its own recorded trajectory."""
+    pipe = tiny_pipeline(num_steps=4)
+    exp = str(tmp_path / "exp_bdirect")
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, exp, inversion_type="direct", categories=(0,),
+        max_items=2, resolution=32, batch_size=2,
+    )
+    assert stats["images_done"] == 2
+    done_dirs = sorted(os.listdir(os.path.join(exp, "0_random")))
+    for d in done_dirs:
+        assert os.path.exists(os.path.join(exp, "0_random", d, "edit.png"))
+
+
+def test_sweep_batched_consumes_precomputed_inversions(mini_pie, tmp_path):
+    """batch_size>1 composes with inversion_path: the invert/NTI phases are
+    skipped, the group's latents+uncond_seqs come off disk."""
+    pipe = tiny_pipeline(num_steps=4)
+    inv = str(tmp_path / "inv_b")
+    for item in PIE(mini_pie).items:
+        save_inversion(
+            inv, item.key,
+            np.random.RandomState(1).randn(1, 4, 4, 4).astype(np.float32) * 0.1,
+            np.zeros((4, 77, 32), np.float32),
+        )
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, str(tmp_path / "exp_bcache"),
+        inversion_type="null-text", categories=(0,), max_items=2,
+        resolution=32, batch_size=2, inversion_path=inv,
+    )
+    assert stats["images_done"] == 2
+
+
 @pytest.mark.slow
 def test_sweep_batched_mode(mini_pie, tmp_path):
     pipe = tiny_pipeline(num_steps=4)

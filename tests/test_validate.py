@@ -42,3 +42,46 @@ def test_validate_runway_dry_run(tmp_path):
         report2["methods"]["p2p"]["syn_edit_sha256"]
         == report["methods"]["p2p"]["syn_edit_sha256"]
     )
+
+
+def test_synth_source_image_deterministic():
+    from image_editing_framework_tpu.eval.validate import synth_source_image
+
+    a = synth_source_image(42, 64)
+    b = synth_source_image(42, 64)
+    assert a.shape == (64, 64, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    assert np.any(synth_source_image(43, 64) != a)
+
+
+def test_realistic_random_params_center_norm_scales():
+    """realistic=True centers norm `scale` leaves at 1 (a live network —
+    golden hashes must be sensitive to kernel changes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_editing_framework_tpu.models import configs
+    from image_editing_framework_tpu.models.init_utils import fast_random_params
+    from image_editing_framework_tpu.models.unet import UNet2DCondition
+
+    unet = UNet2DCondition(configs.TINY_UNET)
+    x = jnp.zeros((1, 16, 16, 4))
+    ctx = jnp.zeros((1, 77, 32))
+    params = fast_random_params(unet, x, 0, ctx, None, None, False,
+                                realistic=True)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    scales = [l for p, l in flat if getattr(p[-1], "key", None) == "scale"]
+    others = [l for p, l in flat if getattr(p[-1], "key", None) == "kernel"]
+    assert scales and others
+    assert all(abs(float(s.mean()) - 1.0) < 0.02 for s in scales)
+    assert all(abs(float(k.mean())) < 0.02 for k in others)
+    # deterministic across calls
+    params2 = fast_random_params(unet, x, 0, ctx, None, None, False,
+                                 realistic=True)
+    chk = jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: bool((a == b).all()), params, params2)
+    )
+    assert chk
+    # the resulting network is live: output magnitude not collapsed
+    out, _ = unet.apply(params, x + 1.0, 10, ctx, None, None, False)
+    assert float(jnp.abs(out).max()) > 1e-3

@@ -76,6 +76,30 @@ def test_xl_nti_reset_variant(xl):
     assert bool(jnp.isfinite(uncond_seq).all())
 
 
+def test_xl_nti_uses_negative_pooled_embeds(xl):
+    """The XL NTI's uncond UNet evaluations run with the *negative* pooled
+    embeds while the cond evaluation keeps the prompt's pooled embeds
+    (masactrl/inversion/nti.py:58-59,75). ddim_invert's returned dict carries
+    both halves; optimizing with the split must differ from (the old bug of)
+    reusing the cond pooled embeds on both branches."""
+    lat = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 4)) * 0.1
+    last, traj, context, added = ddim_invert(xl, lat, "a cat")
+    assert "uncond_text_embeds" in added
+    # tiny XL force-zeros the empty-prompt pooled embeds, so the halves differ
+    assert float(np.abs(np.asarray(added["uncond_text_embeds"])).max()) == 0.0
+    assert float(np.abs(np.asarray(added["text_embeds"])).max()) > 0.0
+    cfg = NTIConfig(num_inner_steps=2, base_lr=5e-2)
+    seq_split = null_text_inversion(
+        xl, traj, context, cfg, guidance_scale=7.5, added_cond=added
+    )
+    both_cond = {"text_embeds": added["text_embeds"], "time_ids": added["time_ids"]}
+    seq_cond_only = null_text_inversion(
+        xl, traj, context, cfg, guidance_scale=7.5, added_cond=both_cond
+    )
+    assert bool(jnp.isfinite(seq_split).all())
+    assert float(jnp.abs(seq_split - seq_cond_only).max()) > 0.0
+
+
 def test_xl_cli_invert_null_text(xl):
     """The CLI inversion path must thread the XL added_cond into NTI
     (regression: cli.invert dropped ddim_invert's added_cond, so XL

@@ -32,6 +32,13 @@ def main() -> None:
     p.add_argument("--inversion_type", type=str, default="ddim")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_steps", type=int, default=50)
+    p.add_argument("--max_items", type=int, default=None)
+    p.add_argument("--resolution", type=int, default=None)
+    p.add_argument("--random_weights", action="store_true",
+                   help="production-shape pipeline with deterministic random "
+                        "weights (identical compute cost; used for the sweep "
+                        "dress rehearsal when no checkpoints exist)")
     # multi-host bootstrap (omit all three for single-process)
     p.add_argument("--coordinator", type=str, default=None)
     p.add_argument("--num_processes", type=int, default=None)
@@ -50,13 +57,20 @@ def main() -> None:
     import jax.numpy as jnp
 
     from image_editing_framework_tpu.eval.sweep import run_sweep
-    from image_editing_framework_tpu.models.registry import load_pipeline
 
-    pipe = load_pipeline(args.sd_version, dtype=jnp.bfloat16)
+    if args.random_weights:
+        from image_editing_framework_tpu.pipelines import random_pipeline
+
+        pipe = random_pipeline(args.sd_version, args.num_steps, dtype=jnp.bfloat16)
+    else:
+        from image_editing_framework_tpu.models.registry import load_pipeline
+
+        pipe = load_pipeline(args.sd_version, args.num_steps, dtype=jnp.bfloat16)
     stats = run_sweep(
         pipe, args.method, args.dataset_path, args.exp_path,
         inversion_type=args.inversion_type, seed=args.seed,
         shard_index=proc, shard_count=count, batch_size=args.batch_size,
+        max_items=args.max_items, resolution=args.resolution,
     )
     print(f"[process {proc}/{count}] {stats}")
 

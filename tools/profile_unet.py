@@ -188,7 +188,11 @@ def main() -> None:
     @jax.jit
     def dec2(p, z):
         def step(carry, _):
-            img = vae.apply(p, z, method=AutoencoderKL.decode)
+            # the input must depend on the carry or XLA hoists the
+            # loop-invariant decode out of the scan (underreporting dt/5)
+            img = vae.apply(
+                p, z + (carry * 0).astype(z.dtype), method=AutoencoderKL.decode
+            )
             return carry + img.astype(jnp.float32).mean(), None
 
         s, _ = jax.lax.scan(step, jnp.float32(0), None, length=5)

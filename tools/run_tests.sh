@@ -36,4 +36,13 @@ for c in "${chunks[@]}"; do
   # shellcheck disable=SC2086
   python -m pytest $c -q "$@" || { fail=$?; break; }
 done
+
+# The batched==serial equivalence suite is slow-marked, so a default run
+# never sees the flagship beyond-reference claim. Always finish with one
+# representative equivalence test (~40 s) so the fast subset covers it.
+if [ $fail -eq 0 ] && [ $# -eq 0 ]; then
+  echo "=== pytest equivalence representative ==="
+  python -m pytest "tests/test_batched.py::test_batched_p2p_matches_per_image" \
+    -q -m "" || fail=$?
+fi
 exit $fail
