@@ -52,6 +52,9 @@ def ssim(a, b, window: int = 7) -> float:
             (1, 1),
             "VALID",
             feature_group_count=x.shape[3],
+            # metrics must be exact: TPU convs default to bf16 accumulation,
+            # which destroys the avg(x^2) - mu^2 cancellation (SSIM > 1)
+            precision=jax.lax.Precision.HIGHEST,
         ).transpose(0, 2, 3, 1)
 
     c1, c2 = 0.01**2, 0.03**2

@@ -144,8 +144,7 @@ class EditService:
 
     def _batch_key(self, req: dict) -> Optional[tuple]:
         """Grouping key for the vmapped editors, or None when the request
-        needs the serial path (XL pipes, custom hyperparameters, direct
-        inversion)."""
+        needs the serial path (XL pipes, custom hyperparameters)."""
         if self.pipe.model_type != "sd" or self.max_batch < 2:
             return None
         if req.get("method") not in ("p2p", "masactrl", "pnp", "p2z"):
@@ -157,7 +156,7 @@ class EditService:
             # field the flow ignores
             return (req["method"], False, "")
         inversion = req.get("inversion_type", "ddim")
-        if inversion not in ("ddim", "null-text"):
+        if inversion not in ("ddim", "null-text", "direct"):
             return None
         return (req["method"], True, inversion)
 
@@ -178,7 +177,7 @@ class EditService:
         for d in out_dirs:
             os.makedirs(d, exist_ok=True)
 
-        uncond_seqs = None
+        uncond_seqs = source_replays = None
         if has_image:
             lats = []
             for r, d in zip(reqs, out_dirs):
@@ -195,6 +194,8 @@ class EditService:
                     nti_config_for(method, self.pipe),
                     guidance_scale=GUIDANCE_SCALE,
                 )
+            elif inversion == "direct" and method != "p2z":
+                source_replays = trajs  # per-image trajectory replay
         else:
             latents = jnp.stack([
                 jax.random.normal(
@@ -211,7 +212,8 @@ class EditService:
             else None
         )
         imgs = batched.edit_batch(
-            method, self.pipe, pairs, latents, cfg, uncond_seqs=uncond_seqs
+            method, self.pipe, pairs, latents, cfg, uncond_seqs=uncond_seqs,
+            source_replays=source_replays,
         )
 
         latency = round(time.perf_counter() - t0, 3)

@@ -72,3 +72,13 @@ def test_structure_metrics():
     assert metrics.mse(a, b) == pytest.approx(1.0)
     assert metrics.ssim(a, a) == pytest.approx(1.0, abs=1e-5)
     assert metrics.ssim(a, b) < 0.1
+    # SSIM is bounded by 1 — regression: TPU's default bf16 conv accumulation
+    # destroyed the avg(x^2)-mu^2 cancellation and reported SSIM > 1 for
+    # natural image pairs (caught by the on-chip golden report)
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    noisy = np.clip(
+        x.astype(np.int32) + rng.randint(-20, 20, x.shape), 0, 255
+    ).astype(np.uint8)
+    s = metrics.ssim(x, noisy)
+    assert 0.0 < s <= 1.0 + 1e-5

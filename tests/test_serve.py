@@ -164,6 +164,36 @@ def test_service_batches_compatible_requests(tmp_path):
     assert solo["status"] == "ok" and "batched_with" not in solo
 
 
+@pytest.mark.slow
+def test_service_batches_direct_inversion(tmp_path):
+    """Direct-inversion requests group into one vmapped program too (each
+    image's source branch replays its own trajectory)."""
+    pipe = tiny_pipeline(num_steps=4)
+    svc = EditService(pipe, str(tmp_path), resolution=32, max_batch=4)
+    rng = np.random.RandomState(1)
+    for i in range(2):
+        img_path = str(tmp_path / f"in{i}.jpg")
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(img_path)
+        with open(os.path.join(svc.requests_dir, f"dir{i}.json"), "w") as f:
+            json.dump(
+                {
+                    "method": "p2p",
+                    "source_prompt": "a cat sat",
+                    "target_prompt": "a dog sat",
+                    "image_path": img_path,
+                    "inversion_type": "direct",
+                },
+                f,
+            )
+    assert svc.poll_once() == 2
+    assert svc.stats["batched"] == 2
+    for i in range(2):
+        r = json.load(
+            open(os.path.join(svc.results_dir, f"dir{i}", "response.json"))
+        )
+        assert r["status"] == "ok" and r["batched_with"] == 2
+
+
 def test_service_parses_config_dict(tmp_path):
     """A JSON "config" sub-dict maps onto the method's config dataclass."""
     pipe = tiny_pipeline(num_steps=4)
