@@ -96,6 +96,7 @@ def validate_pipeline(
         "model_type": pipe.model_type,
         "inversion_type": inversion_type,
         "backend": jax.default_backend(),
+        "decode_tile_latent": pipe.decode_tile_latent,
         "provenance": provenance or "loaded checkpoint",
         "methods": {},
     }
@@ -230,6 +231,11 @@ def main(argv=None) -> None:
                         "weights (pipelines.random_pipeline) — the on-chip "
                         "golden-hash anchor until checkpoints exist")
     p.add_argument("--resolution", type=int, default=None)
+    p.add_argument("--decode_tile", type=int, default=None,
+                   help="tiled-decode tile size in latent pixels (default: "
+                        "64 for XL at >=1024², full-frame otherwise); the "
+                        "tile size changes the seam blending and therefore "
+                        "the golden hashes — reports record it")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -247,7 +253,9 @@ def main(argv=None) -> None:
             args.sd_version, args.num_steps, dtype=jnp.bfloat16, path=args.path
         )
     res = args.resolution or (1024 if pipe.model_type == "xl" else 512)
-    if pipe.model_type == "xl" and res >= 1024 and pipe.decode_tile_latent is None:
+    if args.decode_tile is not None:
+        pipe.decode_tile_latent = args.decode_tile
+    elif pipe.model_type == "xl" and res >= 1024 and pipe.decode_tile_latent is None:
         # same memory-safety default as the sweep driver: the full-frame
         # 1024² decode doesn't fit next to the resident XL UNet + towers
         pipe.decode_tile_latent = 64

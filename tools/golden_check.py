@@ -55,8 +55,10 @@ def main(argv=None) -> int:
               "tools/validate_real_weights.py with the same --path instead")
         return 2
 
-    if pipe.model_type == "xl" and report["resolution"] >= 1024:
-        pipe.decode_tile_latent = 64  # same default the report was made with
+    if report.get("decode_tile_latent") is not None:
+        pipe.decode_tile_latent = report["decode_tile_latent"]
+    elif pipe.model_type == "xl" and report["resolution"] >= 1024:
+        pipe.decode_tile_latent = 64  # pre-round-3 reports didn't record it
 
     source_image = None
     if "real_edit_sha256" in report["methods"][args.method]:

@@ -45,6 +45,13 @@ def main() -> None:
     p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
 
+    import jax
+
+    # Persistent compilation cache: a killed-and-resumed sweep (or any
+    # relaunch) skips the minutes-long SD/XL program compiles.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from image_editing_framework_tpu.parallel.mesh import initialize_distributed
 
     proc = initialize_distributed(
