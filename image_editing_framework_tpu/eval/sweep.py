@@ -90,16 +90,20 @@ def run_sweep(
     done = skipped = 0
     t_start = time.perf_counter()
     pending = []
+    all_items = []
     for category in categories:
-        data = PIE(dataset_path, category)
-        for item in data.items[shard_index::shard_count]:
-            if max_items is not None and len(pending) + skipped >= max_items:
-                break
-            out_dir = os.path.join(exp_path, item.key)
-            if resume and os.path.exists(os.path.join(out_dir, "edit.png")):
-                skipped += 1
-                continue
-            pending.append(item)
+        all_items.extend(PIE(dataset_path, category).items)
+    # Stride the GLOBAL item list, not per-category: shards stay balanced
+    # even when a category holds fewer items than shard_count (per-category
+    # striding left shards >= min-category-size empty).
+    for item in all_items[shard_index::shard_count]:
+        if max_items is not None and len(pending) + skipped >= max_items:
+            break
+        out_dir = os.path.join(exp_path, item.key)
+        if resume and os.path.exists(os.path.join(out_dir, "edit.png")):
+            skipped += 1
+            continue
+        pending.append(item)
 
     os.makedirs(exp_path, exist_ok=True)
     event_log = os.path.join(exp_path, f"events_{method}_{shard_index}.jsonl")

@@ -63,6 +63,7 @@ def validate_pipeline(
     lpips_weights: Optional[str] = None,
     use_flash: Optional[bool] = None,
     provenance: Optional[str] = None,  # e.g. 'random_weights seed=42'
+    sd_version: Optional[str] = None,  # recorded so golden_check can rebuild
 ) -> dict:
     """Run every method e2e on ``pipe``; write PNGs + report.json.
 
@@ -94,6 +95,7 @@ def validate_pipeline(
         "resolution": res,
         "num_steps": pipe.scheduler.num_steps,
         "model_type": pipe.model_type,
+        "sd_version": sd_version,
         "inversion_type": inversion_type,
         "backend": jax.default_backend(),
         "decode_tile_latent": pipe.decode_tile_latent,
@@ -164,10 +166,17 @@ def validate_pipeline(
             if lpips is not None:
                 entry["recon_lpips"] = float(lpips(source_image, inv_img))
         report["methods"][method] = entry
-
-    with open(os.path.join(out_dir, "report.json"), "w") as f:
-        json.dump(report, f, indent=2)
-    _write_markdown(report, os.path.join(out_dir, "report.md"))
+        # Write incrementally: an hour-long XL run that dies on its last
+        # method must not lose the finished methods' hashes.
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        _write_markdown(report, os.path.join(out_dir, "report.md"))
+        # Each method compiles its own SD/XL-scale scan program; the live
+        # executables accumulate device buffers and fragment HBM — at XL
+        # 1024² the second method OOMs on a 16 GB chip with the first
+        # method's programs still loaded. Recompiles are disk-cache hits
+        # (jax_compilation_cache_dir), so dropping them is cheap.
+        jax.clear_caches()
     return report
 
 
@@ -231,6 +240,14 @@ def main(argv=None) -> None:
                         "weights (pipelines.random_pipeline) — the on-chip "
                         "golden-hash anchor until checkpoints exist")
     p.add_argument("--resolution", type=int, default=None)
+    p.add_argument("--report_name", type=str, default=None,
+                   help="subdirectory under --out (default: --sd_version); "
+                        "lets one model version carry several golden configs "
+                        "(e.g. xl-base @1024 + xl-base-p2z512: single-chip "
+                        "XL p2z records every cross site x 50 steps — "
+                        "host-RAM-spill territory for the reference, "
+                        "multi-chip CP territory here — so its single-chip "
+                        "golden runs at 512)")
     p.add_argument("--decode_tile", type=int, default=None,
                    help="tiled-decode tile size in latent pixels (default: "
                         "64 for XL at >=1024², full-frame otherwise); the "
@@ -266,7 +283,7 @@ def main(argv=None) -> None:
         image = load_image(args.source_image, res, res)
     report = validate_pipeline(
         pipe,
-        os.path.join(args.out, args.sd_version),
+        os.path.join(args.out, args.report_name or args.sd_version),
         methods=tuple(args.methods.split(",")),
         source_image=image,
         source_prompt=args.source_prompt,
@@ -281,6 +298,7 @@ def main(argv=None) -> None:
             if args.random_weights
             else None
         ),
+        sd_version=args.sd_version,
     )
     print(json.dumps({m: e.get("syn_edit_sha256") for m, e in report["methods"].items()}, indent=2))
 

@@ -115,9 +115,8 @@ def p2z_edit(
         use_flash=use_flash,
         collect_records=True,
     )
-    image_rec = pipe.latent2image(final_src)
     if only_sample:
-        return image_rec, None
+        return pipe.latent2image(final_src), None
 
     # ---- pass 2: target prompt with attention-map guidance
     ctx_tgt, added_tgt = common.prepare_conditioning(
@@ -138,4 +137,9 @@ def p2z_edit(
         uncond_seq,
         use_flash,
     )
-    return image_rec, pipe.latent2image(final)
+    # Free the recorded maps BEFORE decoding: refs are the dominant HBM
+    # resident (50 steps x every cross site; ~GBs at scale) and the decodes
+    # don't need them — overlapping them with VAE transients is what OOMs
+    # first on a full chip.
+    del refs
+    return pipe.latent2image(final_src), pipe.latent2image(final)

@@ -14,7 +14,7 @@ import numpy as np
 
 def fast_random_params(
     module, *args, seed: int = 0, scale: float = 0.02, realistic: bool = False,
-    **kwargs,
+    param_dtype=None, **kwargs,
 ):
     """Shape-inferred param tree filled with N(0, scale^2), generated ON
     DEVICE per leaf in the leaf's dtype inside one jit (no giant init graph
@@ -24,7 +24,14 @@ def fast_random_params(
     ``realistic=True`` centers norm ``scale`` leaves at 1.0 instead of 0 so
     the network is *live* (pure N(0, 0.02) norm scales attenuate activations
     to ~0 after a few blocks, which would make golden-output hashes
-    insensitive to kernel changes — the validation runway's whole point)."""
+    insensitive to kernel changes — the validation runway's whole point).
+
+    ``param_dtype`` overrides the skeleton leaves' storage dtype for
+    floating leaves (flax defaults param leaves to f32 regardless of the
+    module's computation dtype; production checkpoints load as bf16 via the
+    registry — XL f32 params alone are ~14 GB and fill a 16 GB chip). The
+    cast happens inside the jit, so XLA fuses it into the draw and no f32
+    copy is ever materialized."""
     skeleton = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
     leaves_p, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
 
@@ -33,7 +40,10 @@ def fast_random_params(
         out = []
         for i, (path, leaf) in enumerate(leaves_p):
             k = jax.random.fold_in(key, i)
-            x = jax.random.normal(k, leaf.shape, leaf.dtype) * scale
+            dt = leaf.dtype
+            if param_dtype is not None and jax.numpy.issubdtype(dt, jax.numpy.floating):
+                dt = param_dtype
+            x = jax.random.normal(k, leaf.shape, dt) * scale
             if realistic and getattr(path[-1], "key", None) == "scale":
                 x = x + 1.0  # weak-typed: stays in the leaf's dtype
             out.append(x)

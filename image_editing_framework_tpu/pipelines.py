@@ -242,7 +242,12 @@ def random_pipeline(
     golden-hash anchor until real weights exist: a kernel or model change
     that alters outputs flips the committed validation hashes
     (the reference's committed exp/*.png serve this role,
-    p2p/edit_real.py:173-174)."""
+    p2p/edit_real.py:173-174).
+
+    Params are STORED in ``dtype`` (param_dtype=dtype), matching how the
+    registry loads production checkpoints (bf16); without the override,
+    flax's f32 default leaves put XL at ~14 GB of params — over a 16 GB
+    chip before the first activation."""
     from image_editing_framework_tpu.models import configs
     from image_editing_framework_tpu.models.clip import (
         CLIP_VIT_L,
@@ -275,12 +280,14 @@ def random_pipeline(
         else None
     )
     unet_params = fast_random_params(
-        unet, lat, 0, ctx, None, added, False, seed=seed, realistic=True
+        unet, lat, 0, ctx, None, added, False, seed=seed, realistic=True,
+        param_dtype=dtype,
     )
 
     vae = AutoencoderKL(VAEConfig(), dtype=dtype)
     vae_params = fast_random_params(
-        vae, jnp.zeros((1, 64, 64, 3), dtype), seed=seed + 1, realistic=True
+        vae, jnp.zeros((1, 64, 64, 3), dtype), seed=seed + 1, realistic=True,
+        param_dtype=dtype,
     )
 
     tokenizer = WordTokenizer(vocab_size=49408)
@@ -295,11 +302,11 @@ def random_pipeline(
             vae=vae,
             vae_params=vae_params,
             text_encoder=text,
-            text_params=fast_random_params(text, ids, seed=seed + 2, realistic=True),
+            text_params=fast_random_params(text, ids, seed=seed + 2, realistic=True, param_dtype=dtype),
             tokenizer=tokenizer,
             scheduler=make_ddim_schedule(num_steps),
             text_encoder_2=text2,
-            text_params_2=fast_random_params(text2, ids, seed=seed + 3, realistic=True),
+            text_params_2=fast_random_params(text2, ids, seed=seed + 3, realistic=True, param_dtype=dtype),
             tokenizer_2=tokenizer,
             dtype=dtype,
         )
@@ -312,7 +319,7 @@ def random_pipeline(
         vae=vae,
         vae_params=vae_params,
         text_encoder=text,
-        text_params=fast_random_params(text, ids, seed=seed + 2, realistic=True),
+        text_params=fast_random_params(text, ids, seed=seed + 2, realistic=True, param_dtype=dtype),
         tokenizer=tokenizer,
         scheduler=make_ddim_schedule(num_steps),
         dtype=dtype,

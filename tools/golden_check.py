@@ -45,7 +45,9 @@ def main(argv=None) -> int:
     if "random_weights" in report.get("provenance", ""):
         from image_editing_framework_tpu.pipelines import random_pipeline
 
-        version = os.path.basename(os.path.dirname(os.path.abspath(args.report)))
+        version = report.get("sd_version") or os.path.basename(
+            os.path.dirname(os.path.abspath(args.report))
+        )
         pipe = random_pipeline(
             version, report["num_steps"], dtype=jnp.bfloat16,
             seed=report["seed"],

@@ -43,6 +43,16 @@ def main() -> None:
     p.add_argument("--coordinator", type=str, default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # explicit shard override: concurrent processes WITHOUT the jax
+    # distributed runtime (independent hosts sharing only --exp_path, or
+    # the concurrent-shard demo on one machine) — each process names its
+    # own slice of the item list instead of deriving it from
+    # jax.process_index()
+    p.add_argument("--shard_index", type=int, default=None)
+    p.add_argument("--shard_count", type=int, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny_pipeline instead of production shapes (CPU-"
+                        "sized; used by tools/concurrent_shard_demo.py)")
     args = p.parse_args()
 
     import jax
@@ -65,7 +75,11 @@ def main() -> None:
 
     from image_editing_framework_tpu.eval.sweep import run_sweep
 
-    if args.random_weights:
+    if args.tiny:
+        from image_editing_framework_tpu.pipelines import tiny_pipeline
+
+        pipe = tiny_pipeline(num_steps=args.num_steps)
+    elif args.random_weights:
         from image_editing_framework_tpu.pipelines import random_pipeline
 
         pipe = random_pipeline(args.sd_version, args.num_steps, dtype=jnp.bfloat16)
@@ -73,11 +87,15 @@ def main() -> None:
         from image_editing_framework_tpu.models.registry import load_pipeline
 
         pipe = load_pipeline(args.sd_version, args.num_steps, dtype=jnp.bfloat16)
+    if args.shard_index is not None:
+        proc, count = args.shard_index, args.shard_count or 1
+    use_flash = None if not args.tiny else False
     stats = run_sweep(
         pipe, args.method, args.dataset_path, args.exp_path,
         inversion_type=args.inversion_type, seed=args.seed,
         shard_index=proc, shard_count=count, batch_size=args.batch_size,
         max_items=args.max_items, resolution=args.resolution,
+        **({"use_flash": use_flash} if use_flash is not None else {}),
     )
     print(f"[process {proc}/{count}] {stats}")
 

@@ -15,6 +15,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# Persistent compilation cache: validate compiles four methods' SD/XL-scale
+# programs (and clears live executables between methods to bound HBM);
+# repeats and re-runs hit the disk cache instead of recompiling for minutes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 from image_editing_framework_tpu.eval.validate import main
 
 if __name__ == "__main__":
