@@ -30,7 +30,16 @@ from image_editing_framework_tpu.methods.base import denoise
 from image_editing_framework_tpu.ops.controls import P2ZControl, P2ZStep
 
 
-@functools.partial(jax.jit, static_argnames=("unet", "use_flash"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet", "use_flash"),
+    # refs (50 steps x every cross site, ~6 GB at XL scale) are consumed
+    # only by this program: donating them lets XLA reuse/free the buffers
+    # inside the pass instead of waiting for Python refcount + the
+    # tunnel's deferred deletes — without this, the refs overlap the
+    # final VAE decode's transients and OOM a 16 GB chip at XL 512².
+    donate_argnames=("refs",),
+)
 def _guided_scan(
     unet,
     unet_params,
