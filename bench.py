@@ -86,10 +86,21 @@ def main() -> None:
         }
     from image_editing_framework_tpu.models.init_utils import fast_random_params
 
-    params = fast_random_params(unet, lat1, 0, ctx1, None, added1)
+    # Params are STORED bf16 (matching registry.load_pipeline's production
+    # loading); flax's f32 default would re-fetch 2x the param bytes from HBM
+    # every UNet step. IEF_BENCH_PARAM_DTYPE=f32 restores the old storage for
+    # A/B comparison.
+    p_dtype = (
+        jnp.float32
+        if os.environ.get("IEF_BENCH_PARAM_DTYPE") == "f32"
+        else dtype
+    )
+    params = fast_random_params(unet, lat1, 0, ctx1, None, added1, param_dtype=p_dtype)
 
     vae = AutoencoderKL(VAEConfig(), dtype=dtype)
-    vae_params = fast_random_params(vae, jnp.zeros((1, side * 8, side * 8, 3), dtype), seed=1)
+    vae_params = fast_random_params(
+        vae, jnp.zeros((1, side * 8, side * 8, 3), dtype), seed=1, param_dtype=p_dtype
+    )
     decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
 
     ctrl = build_p2p_control(

@@ -146,9 +146,13 @@ def p2z_edit(
         uncond_seq,
         use_flash,
     )
-    # Free the recorded maps BEFORE decoding: refs are the dominant HBM
-    # resident (50 steps x every cross site; ~GBs at scale) and the decodes
-    # don't need them — overlapping them with VAE transients is what OOMs
-    # first on a full chip.
+    # Drain the device queue before decoding. Buffers are allocated at
+    # DISPATCH on the tunneled TPU runtime, so without a sync the decode's
+    # transients are claimed while pass 1 + pass 2 are still queued and the
+    # recorded maps (donated into pass 2, ~6 GB at XL scale) are still
+    # live — which OOMs a 16 GB chip at XL 512². A tiny fetch forces the
+    # queue through pass 2, landing the donation frees first (~one RTT;
+    # block_until_ready is not reliable on the tunneled platform).
     del refs
+    np.asarray(final[:, :1, :1, 0])
     return pipe.latent2image(final_src), pipe.latent2image(final)

@@ -250,3 +250,26 @@ def test_service_handles_xl_requests(tmp_path):
             open(os.path.join(svc.results_dir, f"job{j}", "response.json"))
         )
         assert r["status"] == "ok", r
+
+
+@pytest.mark.slow
+def test_bench_serve_tool_smoke():
+    """tools/bench_serve.py runs end-to-end on the tiny pipeline and reports
+    a well-formed throughput report (the serial comparison mode is covered
+    on-chip; one mode keeps the test inside the slow-suite budget)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(root, "tools", "bench_serve.py"),
+            "--tiny", "--n", "2", "--max_batch", "2", "--num_steps", "2",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # last JSON object on stdout
+    payload = json.loads(out.stdout[out.stdout.index("{"):])
+    assert payload["batched"]["ok_responses"] >= 2
+    assert payload["batched"]["s_per_request"] > 0
