@@ -166,7 +166,8 @@ def run_method(
         imgs = pnp_edit(pipe, prompts, latent, cfg, sampler, uncond_seq=uncond_seq, **kw)
         return imgs[0], imgs[1]
     if method == "p2z":
-        cfg = kw.pop("config", cfgs.P2ZConfig())
+        default_cfg = cfgs.P2ZConfig(recompute_refs=pipe.model_type == "xl")
+        cfg = kw.pop("config", default_cfg)
         rec, edit = p2z_edit(
             pipe, prompts, latent, cfg, sampler, uncond_seq=uncond_seq, **kw
         )

@@ -76,9 +76,18 @@ class PnPConfig:
 
 @dataclasses.dataclass(frozen=True)
 class P2ZConfig:
-    """pix2pix-zero (reference: pix2pix-zero/model/sd_utils.py:28)."""
+    """pix2pix-zero (reference: pix2pix-zero/model/sd_utils.py:28).
+
+    ``recompute_refs``: rematerialize pass-1's reference cross-attention
+    maps inside pass 2 from the stored latent trajectory instead of keeping
+    all S x sites maps resident (~6 GB at XL scale — the reference spills
+    them to host RAM, sd_utils.py:104-110; on TPU one extra source forward
+    per step is cheaper than the HBM). Defaults on for XL pipelines in
+    ``cli.run_method``.
+    """
 
     guidance_amount: float = 0.1
+    recompute_refs: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

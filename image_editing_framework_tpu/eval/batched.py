@@ -83,7 +83,7 @@ def _batched_edit(
         return _denoise_scan(
             unet, params, sched, lat, ctx, c, guidance, add, useq,
             LocalBlend(jnp.zeros((1, 77))), replay, use_flash, False, False,
-            None,
+            False, None,
         )[0]
 
     axes = (
@@ -208,19 +208,36 @@ def pnp_edit_batch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("unet", "use_flash", "has_nti"))
+@functools.partial(
+    jax.jit, static_argnames=("unet", "use_flash", "has_nti", "recompute")
+)
 def _batched_p2z(
     unet, params, sched, latents, ctx_srcs, ctx_tgts, guidance, amount,
-    added_s, added_t, uncond_seqs, use_flash, has_nti,
+    added_s, added_t, uncond_seqs, use_flash, has_nti, recompute=False,
 ):
     from image_editing_framework_tpu.methods.p2z import _guided_scan
-    from image_editing_framework_tpu.ops.controls import P2ZControl
+    from image_editing_framework_tpu.ops.controls import NoneControl, P2ZControl
 
     def one(lat, ctx_s, ctx_t, useq, add_s, add_t):
-        final_src, refs = _denoise_scan(
+        if recompute:
+            # recompute_refs: store only the pass-1 latent trajectory and
+            # rematerialize each step's reference maps inside the guided
+            # pass — G x S x sites of resident maps would OOM at XL scale.
+            final_src, _, traj = _denoise_scan(
+                unet, params, sched, lat, ctx_s, NoneControl(), guidance,
+                add_s, useq, LocalBlend(jnp.zeros((1, 77))), None, use_flash,
+                False, True, False, None,
+            )
+            final_tgt = _guided_scan(
+                unet, params, sched, lat, ctx_t, None, guidance, amount,
+                add_t, useq, use_flash, src_traj=traj, ctx_src=ctx_s,
+                added_src=add_s,
+            )
+            return final_src, final_tgt
+        final_src, refs, _ = _denoise_scan(
             unet, params, sched, lat, ctx_s, P2ZControl(), guidance, add_s,
             useq, LocalBlend(jnp.zeros((1, 77))), None, use_flash, True,
-            False, None,
+            False, False, None,
         )
         final_tgt = _guided_scan(
             unet, params, sched, lat, ctx_t, refs, guidance, amount, add_t,
@@ -254,7 +271,8 @@ def p2z_edit_batch(
     from image_editing_framework_tpu.core.config import P2ZConfig
 
     g = len(prompt_pairs)
-    cfg = cfg or P2ZConfig()
+    # same memory-discipline default as cli.run_method: XL rematerializes
+    cfg = cfg or P2ZConfig(recompute_refs=pipe.model_type == "xl")
     ctx_srcs, added_s = _encode_pairs(
         pipe, [[pair[0]] for pair in prompt_pairs], latents
     )
@@ -266,6 +284,7 @@ def p2z_edit_batch(
         ctx_tgts, jnp.asarray(guidance_scale, latents.dtype),
         jnp.asarray(cfg.guidance_amount, latents.dtype), added_s, added_t,
         uncond_seqs, use_flash, uncond_seqs is not None,
+        recompute=cfg.recompute_refs,
     )
     both = jnp.concatenate([final_src, final_tgt], axis=1)  # (G, 2, h, w, 4)
     return _decode_pairs(pipe, both, g)

@@ -99,6 +99,9 @@ def validate_pipeline(
         "inversion_type": inversion_type,
         "backend": jax.default_backend(),
         "decode_tile_latent": pipe.decode_tile_latent,
+        # XL p2z rematerializes its reference maps (cli.run_method default);
+        # the mode changes compiled-program numerics, so goldens record it.
+        "p2z_recompute_refs": pipe.model_type == "xl" and "p2z" in methods,
         "provenance": provenance or "loaded checkpoint",
         "methods": {},
     }

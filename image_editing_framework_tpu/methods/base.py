@@ -64,7 +64,8 @@ def _record_shapes(unet_apply_fn, latents, t, context, step_ctrl, added):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "unet", "use_flash", "collect_records", "has_blend", "store_mode"
+        "unet", "use_flash", "collect_records", "collect_trajectory",
+        "has_blend", "store_mode",
     ),
 )
 def _denoise_scan(
@@ -81,6 +82,7 @@ def _denoise_scan(
     source_replay,  # (S+1, 1, h, w, 4) inversion trajectory or None
     use_flash: bool,
     collect_records: bool,
+    collect_trajectory: bool,
     has_blend: bool,
     store_mode: Optional[str],  # None | 'sum' (LocalBlend cross-step average)
 ):
@@ -119,6 +121,7 @@ def _denoise_scan(
             # branch replays its inversion trajectory
             # (masactrl/model/sd_utils.py:95-99).
             lat = jnp.concatenate([source_replay[steps - i], lat[1:]], axis=0)
+        lat_entry = lat  # the (post-replay) latent ENTERING step i
         lat_in = jnp.concatenate([lat] * 2, axis=0)
         eps, rec = unet_fn(lat_in, t, make_context(i), step_ctrl)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
@@ -128,11 +131,19 @@ def _denoise_scan(
             store = {k: store[k] + rec[k].astype(jnp.float32) for k in store}
         if has_blend:
             lat = blend(lat, store)
-        ys = rec if collect_records else None
+        # trajectory ys carry the exact UNet input latent of step i, so a
+        # later pass can rematerialize this step's records instead of storing
+        # them (p2z recompute_refs: ~6 GB of XL maps -> ~2 MB of latents).
+        ys = (
+            rec if collect_records else None,
+            lat_entry if collect_trajectory else None,
+        )
         return (lat, store), ys
 
-    (lat, _), ys = jax.lax.scan(step_fn, (latents, store0), jnp.arange(steps))
-    return lat, ys
+    (lat, _), (rec_ys, traj_ys) = jax.lax.scan(
+        step_fn, (latents, store0), jnp.arange(steps)
+    )
+    return lat, rec_ys, traj_ys
 
 
 def denoise(
@@ -147,16 +158,20 @@ def denoise(
     source_replay: Optional[jnp.ndarray] = None,
     use_flash: bool = True,
     collect_records: bool = False,
+    collect_trajectory: bool = False,
 ):
-    """Run the full DDIM denoising loop. Returns (final_latents, records_ys).
+    """Run the full DDIM denoising loop.
 
-    ``records_ys`` is a dict of per-step stacked recorded arrays when
-    ``collect_records`` (pix2pix-zero pass 1), else None.
+    Returns (final_latents, records_ys), or (final_latents, records_ys,
+    trajectory_ys) when ``collect_trajectory``. ``records_ys`` is a dict of
+    per-step stacked recorded arrays when ``collect_records`` (pix2pix-zero
+    pass 1), else None; ``trajectory_ys`` is the (S, P, h, w, 4) per-step
+    UNet-input latents (p2z recompute_refs rematerialization).
     """
     if ctrl is None:
         ctrl = NoneControl()
     store_mode = "sum" if blend is not None else None
-    return _denoise_scan(
+    lat, rec_ys, traj_ys = _denoise_scan(
         pipe.unet,
         pipe.unet_params,
         pipe.scheduler,
@@ -170,6 +185,10 @@ def denoise(
         source_replay,
         use_flash,
         collect_records,
+        collect_trajectory,
         blend is not None,
         store_mode,
     )
+    if collect_trajectory:
+        return lat, rec_ys, traj_ys
+    return lat, rec_ys

@@ -46,22 +46,30 @@ def _guided_scan(
     sched: DDIMSchedule,
     latents0: jnp.ndarray,  # (1, h, w, 4)
     context: jnp.ndarray,  # (2, 77, D) [uncond, cond(target)]
-    refs: Dict[str, jnp.ndarray],  # per-site (S, 2, H, N, 77) recorded maps
+    refs: Optional[Dict[str, jnp.ndarray]],  # per-site (S, 2, H, N, 77) maps
     guidance_scale,
     guidance_amount,
     added_cond,
     uncond_seq,  # (S, 77, D) per-step NTI embeddings or None
     use_flash: bool,
+    # recompute_refs mode (refs is None): rematerialize the reference maps
+    # each step from the stored source-pass latent trajectory instead of
+    # holding every recorded map in HBM. Trades one extra (CFG-doubled)
+    # source UNet forward per step for ~6 GB of resident XL maps — the
+    # jax.checkpoint idea applied across the two p2z passes.
+    src_traj=None,  # (S, 1, h, w, 4) pass-1 UNet-input latents
+    ctx_src=None,  # (2, 77, D) source-prompt context
+    added_src=None,
 ):
     step_ctrl = P2ZStep()
 
-    def make_context(i):
+    def make_context(i, ctx):
         if uncond_seq is None:
-            return context
+            return ctx
         # NTI variant swaps the optimized uncond in per step
         # (pix2pix-zero/model/sd_utils.py P2P_Zero_NTI:518,582).
         return jnp.concatenate(
-            [uncond_seq[i][None].astype(context.dtype), context[1:]], axis=0
+            [uncond_seq[i][None].astype(ctx.dtype), ctx[1:]], axis=0
         )
 
     def attn_loss(x_in, t, ctx, ref_t):
@@ -80,8 +88,19 @@ def _guided_scan(
 
     def step_fn(lat, i):
         t = sched.timesteps[i]
-        ctx = make_context(i)
-        ref_t = {k: v[i] for k, v in refs.items()}
+        ctx = make_context(i, context)
+        if refs is not None:
+            ref_t = {k: v[i] for k, v in refs.items()}
+        else:
+            # Re-run pass 1's step-i forward (identical inputs: stored
+            # latent, source context incl. the NTI swap) and record the
+            # same bf16 maps P2ZStep stored in the recorded path.
+            src_in = jnp.concatenate([src_traj[i]] * 2, axis=0)
+            _, ref_t = unet.apply(
+                unet_params, src_in, t, make_context(i, ctx_src), step_ctrl,
+                added_src, use_flash,
+            )
+            ref_t = jax.lax.stop_gradient(ref_t)
         x_in = jnp.concatenate([lat] * 2, axis=0)
         g = grad_fn(x_in, t, ctx, ref_t)
         x_in = x_in - guidance_amount * g  # SGD step (lr = guidance_amount)
@@ -109,21 +128,37 @@ def p2z_edit(
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Returns (reconstruction_image, edited_image)."""
     assert len(prompts) == 2
-    # ---- pass 1: source prompt, record reference cross-attention maps
+    # ---- pass 1: source prompt, record reference cross-attention maps —
+    # or, in recompute_refs mode, only the ~2 MB latent trajectory from
+    # which pass 2 rematerializes them (XL-scale HBM discipline).
     ctx_src, added_src = common.prepare_conditioning(
         pipe, [prompts[0]], sampler.height, sampler.width
     )
-    final_src, refs = denoise(
-        pipe,
-        latent,
-        ctx_src,
-        P2ZControl(),
-        guidance_scale=sampler.guidance_scale,
-        added_cond=added_src,
-        uncond_seq=uncond_seq,
-        use_flash=use_flash,
-        collect_records=True,
-    )
+    refs = src_traj = None
+    if cfg.recompute_refs:
+        final_src, _, src_traj = denoise(
+            pipe,
+            latent,
+            ctx_src,
+            None,  # no recording — refs are rematerialized in pass 2
+            guidance_scale=sampler.guidance_scale,
+            added_cond=added_src,
+            uncond_seq=uncond_seq,
+            use_flash=use_flash,
+            collect_trajectory=True,
+        )
+    else:
+        final_src, refs = denoise(
+            pipe,
+            latent,
+            ctx_src,
+            P2ZControl(),
+            guidance_scale=sampler.guidance_scale,
+            added_cond=added_src,
+            uncond_seq=uncond_seq,
+            use_flash=use_flash,
+            collect_records=True,
+        )
     if only_sample:
         return pipe.latent2image(final_src), None
 
@@ -145,6 +180,9 @@ def p2z_edit(
         added_tgt,
         uncond_seq,
         use_flash,
+        src_traj=src_traj,
+        ctx_src=ctx_src if cfg.recompute_refs else None,
+        added_src=added_src if cfg.recompute_refs else None,
     )
     # Drain the device queue before decoding. Buffers are allocated at
     # DISPATCH on the tunneled TPU runtime, so without a sync the decode's

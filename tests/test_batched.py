@@ -95,6 +95,15 @@ def test_batched_p2z_matches_per_image():
         np.testing.assert_allclose(
             batched[i, 1].astype(np.int32), edit[0].astype(np.int32), atol=1
         )
+    # recompute_refs (the XL memory-discipline default) must agree with the
+    # recorded-refs program on the same batch
+    remat = p2z_edit_batch(
+        pipe, pairs, lats,
+        P2ZConfig(guidance_amount=0.05, recompute_refs=True),
+    )
+    np.testing.assert_allclose(
+        remat.astype(np.int32), batched.astype(np.int32), atol=2
+    )
 
 
 @pytest.mark.slow

@@ -180,6 +180,24 @@ def test_p2z_edit_runs_and_zero_guidance_equivalence(pipe):
     np.testing.assert_allclose(np.asarray(edit0), np.asarray(plain_img), atol=1)
 
 
+def test_p2z_recompute_refs_matches_recorded(pipe):
+    """recompute_refs rematerializes pass-1's maps from the latent
+    trajectory — same refs (bf16-stored both ways), same edit, without the
+    S x sites HBM residency."""
+    lat = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 16, 4))
+    rec_a, edit_a = p2z_edit(
+        pipe, ["a cat", "a dog"], lat, P2ZConfig(guidance_amount=0.1), SAMPLER
+    )
+    rec_b, edit_b = p2z_edit(
+        pipe, ["a cat", "a dog"], lat,
+        P2ZConfig(guidance_amount=0.1, recompute_refs=True), SAMPLER,
+    )
+    # pass 1 is bit-identical; pass 2 differs only by compiled-program
+    # scheduling of the ref computation (uint8 pixels: allow 1 count)
+    np.testing.assert_allclose(np.asarray(rec_a), np.asarray(rec_b), atol=1)
+    np.testing.assert_allclose(np.asarray(edit_a), np.asarray(edit_b), atol=2)
+
+
 @pytest.mark.slow
 def test_direct_inversion_improves_cfg_reconstruction(pipe):
     """Source-branch trajectory replay (direct inversion) pins the
