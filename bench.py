@@ -95,12 +95,31 @@ def main() -> None:
         if os.environ.get("IEF_BENCH_PARAM_DTYPE") == "f32"
         else dtype
     )
-    params = fast_random_params(unet, lat1, 0, ctx1, None, added1, param_dtype=p_dtype)
-
+    trace_only = bool(os.environ.get("IEF_BENCH_TRACE"))
     vae = AutoencoderKL(VAEConfig(), dtype=dtype)
-    vae_params = fast_random_params(
-        vae, jnp.zeros((1, side * 8, side * 8, 3), dtype), seed=1, param_dtype=p_dtype
-    )
+    if trace_only:
+        # abstract params: shapes/dtypes only — materializing SD/XL-scale
+        # weights takes minutes on a lone CPU core and the trace never
+        # reads values
+        params = jax.eval_shape(
+            lambda: fast_random_params(
+                unet, lat1, 0, ctx1, None, added1, param_dtype=p_dtype
+            )
+        )
+        vae_params = jax.eval_shape(
+            lambda: fast_random_params(
+                vae, jnp.zeros((1, side * 8, side * 8, 3), dtype), seed=1,
+                param_dtype=p_dtype,
+            )
+        )
+    else:
+        params = fast_random_params(
+            unet, lat1, 0, ctx1, None, added1, param_dtype=p_dtype
+        )
+        vae_params = fast_random_params(
+            vae, jnp.zeros((1, side * 8, side * 8, 3), dtype), seed=1,
+            param_dtype=p_dtype,
+        )
     decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
 
     ctrl = build_p2p_control(
@@ -114,7 +133,7 @@ def main() -> None:
     context = jax.random.normal(jax.random.PRNGKey(4), (4, 77, ctx_dim), dtype)
     uncond0 = jax.random.normal(jax.random.PRNGKey(5), (1, 77, ctx_dim), dtype)
 
-    def run_once():
+    def run_once(params=params, vae_params=vae_params):
         last, traj = _invert_scan(unet, params, sched, latent, cond, added1, use_flash)
         uncond_seq = None
         if is_nti:
@@ -128,11 +147,11 @@ def main() -> None:
                 added1, None, 10, False, use_flash,
             )
         lat2 = jnp.broadcast_to(last, (2, side, side, 4))
-        final, _ = _denoise_scan(
+        final, _, _ = _denoise_scan(
             unet, params, sched, lat2, context, ctrl,
             jnp.asarray(7.5, dtype), added4, uncond_seq,
             LocalBlend(jnp.zeros((1, 77))), None,
-            use_flash, False, False, None,
+            use_flash, False, False, False, None,
         )
         if is_xl:
             # 1024^2 decode transients + 5.1GB of params: decode per image
@@ -142,6 +161,16 @@ def main() -> None:
         return decode(vae_params, final)
 
     import numpy as np
+
+    if os.environ.get("IEF_BENCH_TRACE"):
+        # Trace-only smoke (no compile, no device): abstractly evaluates the
+        # whole measured program chain, which catches call-signature rot in
+        # the internal-API calls above (e.g. _denoise_scan arity) in seconds
+        # on any backend. Exercised by tests/test_bench_trace.py.
+        out = jax.eval_shape(run_once, params, vae_params)
+        print(json.dumps({"metric": metric, "trace_ok": True,
+                          "out_shape": list(out.shape)}))
+        return
 
     # warmup / compile. NOTE: block_until_ready does not reliably force
     # execution on the tunneled TPU platform — fetch to host instead (a real
@@ -185,7 +214,7 @@ def main() -> None:
             lambda: _denoise_scan(
                 unet, params, sched, lat2, context, ctrl, jnp.asarray(7.5, dtype),
                 added4, None, LocalBlend(jnp.zeros((1, 77))), None, use_flash,
-                False, False, None,
+                False, False, False, None,
             )[0]
         )
         print(

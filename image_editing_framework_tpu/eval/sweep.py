@@ -296,17 +296,16 @@ def run_sweep(
     for fut in save_futures:
         fut.result()  # surface IO errors before declaring success
     wall = time.perf_counter() - t_start
+    # the first image (serial) / whole first group (batched) includes
+    # compile; steady-state stats exclude it
+    tail = times[max(1, batch_size):]
     stats = {
         "method": method,
         "images_done": done,
         "images_skipped": skipped,
         "wall_s": round(wall, 2),
         "mean_s_per_image": round(float(np.mean(times)), 3) if times else None,
-        # the first image (serial) / whole first group (batched) includes
-        # compile; steady-state excludes it
-        "steady_s_per_image": round(float(np.mean(times[max(1, batch_size):])), 3)
-        if len(times) > max(1, batch_size)
-        else None,
+        "steady_s_per_image": round(float(np.mean(tail)), 3) if tail else None,
     }
     # memory observability for long-run stability evidence (SURVEY.md §5):
     # device HBM peak (TPU runtimes expose memory_stats) + host peak RSS
@@ -325,8 +324,7 @@ def run_sweep(
         )
     except Exception:
         pass
-    if len(times) > max(1, batch_size):
-        tail = times[max(1, batch_size):]
+    if tail:
         stats["p50_s_per_image"] = round(float(np.percentile(tail, 50)), 3)
         stats["p95_s_per_image"] = round(float(np.percentile(tail, 95)), 3)
         stats["max_s_per_image"] = round(float(np.max(tail)), 3)

@@ -222,6 +222,13 @@ def _fmt(v) -> str:
 def main(argv=None) -> None:
     import argparse
 
+    # validate_pipeline clears live executables after each method (HBM
+    # headroom); the persistent cache makes any recompile a disk hit. Set
+    # here, not only in the tools/ wrapper, so direct module invocation
+    # (python -m ...eval.validate, golden_check) gets the same behavior.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     p = argparse.ArgumentParser("real-weight validation runway")
     p.add_argument("--sd_version", type=str, default="1.5")
     p.add_argument("--path", type=str, default=None,

@@ -18,11 +18,16 @@ def load_image(path: str, height: int, width: int) -> np.ndarray:
 
 
 def save_img(img: np.ndarray, save_path: str) -> None:
+    """Write-then-rename: the sweep's resume-by-output check treats an
+    existing edit.png as done, so a SIGKILL mid-write must never leave a
+    truncated PNG at the final name (same protocol as the serve spool)."""
     if img.ndim == 4:
         img = img[0]
     elif img.ndim != 3:
         raise ValueError("The dim of the picture is not right")
-    Image.fromarray(np.asarray(img)).save(save_path)
+    tmp = save_path + ".tmp"
+    Image.fromarray(np.asarray(img)).save(tmp, format="PNG")
+    os.replace(tmp, save_path)
 
 
 def save_images(img: np.ndarray, nrow: int = 1, ncol: Optional[int] = None,

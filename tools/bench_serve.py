@@ -79,10 +79,13 @@ def run_mode(pipe, res: int, images, args, max_batch: int) -> dict:
         _submit(root, f"req{i:04d}", req(i))
     wall = _drain(svc, args.n)
 
+    # count ONLY the burst's responses — warm-up requests share the results
+    # dir and would mask burst failures if included
     ok = sum(
         1
         for n in os.listdir(os.path.join(root, "results"))
-        if os.path.exists(os.path.join(root, "results", n, "response.json"))
+        if n.startswith("req")
+        and os.path.exists(os.path.join(root, "results", n, "response.json"))
         and json.load(open(os.path.join(root, "results", n, "response.json")))[
             "status"
         ]

@@ -38,7 +38,12 @@ def main(argv=None) -> int:
               f"{sorted(report['methods'])}")
         return 2
 
+    import jax
     import jax.numpy as jnp
+
+    # recompiles of the SD/XL-scale programs are disk-cache hits
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from image_editing_framework_tpu.eval.validate import validate_pipeline
 

@@ -88,7 +88,15 @@ def main() -> None:
 
         pipe = load_pipeline(args.sd_version, args.num_steps, dtype=jnp.bfloat16)
     if args.shard_index is not None:
-        proc, count = args.shard_index, args.shard_count or 1
+        # shard_index without an explicit shard_count would default to
+        # count=1 — every shard processing items[i::1], i.e. overlapping
+        # near-full sweeps instead of a partition. Refuse.
+        if not args.shard_count or args.shard_count <= args.shard_index:
+            raise SystemExit(
+                "--shard_index requires --shard_count > shard_index "
+                f"(got index={args.shard_index} count={args.shard_count})"
+            )
+        proc, count = args.shard_index, args.shard_count
     use_flash = None if not args.tiny else False
     stats = run_sweep(
         pipe, args.method, args.dataset_path, args.exp_path,

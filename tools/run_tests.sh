@@ -14,6 +14,15 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# The CPU suite must be immune to TPU-tunnel outages: the ambient
+# PYTHONPATH injects a sitecustomize that hooks jax's backend lookup and
+# BLOCKS every jax call (even CPU-pinned ones) while the tunnel is down.
+# The suite forces the CPU platform anyway (tests/conftest.py), so drop the
+# hook unless the run explicitly targets the real chip.
+if [ -z "${IEF_TEST_TPU:-}" ]; then
+  export PYTHONPATH=""
+fi
+
 chunks=(
   "tests/test_scheduler.py tests/test_seq_aligner.py tests/test_tokenizer.py tests/test_controls.py tests/test_models.py"
   "tests/test_flash_attention.py tests/test_flash_grad.py tests/test_ring_attention.py tests/test_parallel.py"

@@ -34,7 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def synth_pie(root: str, n: int, res: int = 512, categories=(0, 1, 2, 3, 4, 6, 7, 8, 9)) -> str:
     """A PIE-Bench-shaped dataset of n smooth-noise images spread over the
-    reference's categories (5 skipped, as in p2p/test.py:114)."""
+    reference's categories (5 skipped, as in p2p/test.py:114).
+
+    Deliberately numpy/PIL-only (NOT eval.validate.synth_source_image, which
+    resizes via jax): this generator runs in the rehearsal's parent process,
+    which must never initialize the JAX backend — the kill/resume sweep
+    subprocesses need the single TPU chip to themselves."""
     import numpy as np
     from PIL import Image
 
