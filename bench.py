@@ -39,8 +39,45 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 TARGET_S_PER_IMAGE_PER_CHIP = 600.0 * 8 / 700.0  # 6.857 s
 
 
+def _require_live_tunnel() -> None:
+    """Fail fast (clear stderr + exit 2) instead of hanging forever when the
+    tunneled-TPU backend is registered but its tunnel is down — the ambient
+    backend hook otherwise blocks the first device op indefinitely."""
+    import subprocess
+    import sys
+
+    try:
+        from jax._src import xla_bridge as _xb
+    except Exception:
+        return
+    if "axon" not in getattr(_xb, "_backend_factories", {}):
+        return
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=120,
+        )
+        if probe.returncode == 0 and "ok" in probe.stdout:
+            return
+        err = probe.stderr.strip().splitlines()[-1:] or ["no output"]
+    except subprocess.TimeoutExpired:
+        err = ["device probe hung >120s"]
+    print(f"bench.py: TPU tunnel unreachable ({err[0]}); "
+          "refusing to start a bench that would hang", file=sys.stderr)
+    sys.exit(2)
+
+
 def main() -> None:
     import os
+
+    if os.environ.get("IEF_BENCH_TRACE"):
+        # trace mode runs anywhere — drop a dead tunnel's backend (its hook
+        # would block even the small eager setup ops) and trace on CPU
+        from __graft_entry__ import _neutralize_dead_tunnel
+
+        _neutralize_dead_tunnel()
+    else:
+        _require_live_tunnel()
 
     from image_editing_framework_tpu.core.config import P2PConfig
     from image_editing_framework_tpu.core.scheduler import make_ddim_schedule
