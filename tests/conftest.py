@@ -10,11 +10,20 @@ import sys
 # Force CPU (the ambient environment may pin JAX_PLATFORMS to a TPU platform,
 # and the TPU plugin ignores the env var — use jax.config instead).
 # Set IEF_TEST_TPU=1 to run the suite on real TPU hardware instead.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if not os.environ.get("IEF_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # The ambient sitecustomize hooks jax's backend lookup; while the TPU
+    # tunnel is down that hook blocks EVERY jax call (even CPU-pinned), so a
+    # plain `pytest tests/` would hang. Drop the dead backend up front
+    # (no-op when the tunnel is healthy or the hook isn't installed).
+    from __graft_entry__ import _neutralize_dead_tunnel
+
+    _neutralize_dead_tunnel()
     # The suite is XLA-compile-dominated (tiny models, hundreds of unique
     # programs, often a single host core): trading optimized codegen for
     # compile speed roughly halves suite wall-clock with no measurable
@@ -34,4 +43,3 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
