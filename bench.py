@@ -32,8 +32,12 @@ import jax
 import jax.numpy as jnp
 
 # Persistent compilation cache: the SD-scale programs take minutes to
-# compile cold; repeat driver invocations hit the cache.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+# compile cold; repeat driver invocations hit the cache. Keyed by a host CPU
+# fingerprint so XLA AOT artifacts never reload on a feature-mismatched host
+# (SIGILL hazard — see utils/jax_cache.py).
+from image_editing_framework_tpu.utils.jax_cache import compilation_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 TARGET_S_PER_IMAGE_PER_CHIP = 600.0 * 8 / 700.0  # 6.857 s

@@ -81,15 +81,30 @@ class PIEPrecomputedInversion(PIE):
     """
 
     def __init__(self, dataset_path: str, inversion_path: str,
-                 category: Optional[int] = None):
-        super().__init__(dataset_path, category)
+                 category: Optional[int] = None,
+                 required_items: Optional[List[PIEItem]] = None):
+        """``required_items`` narrows the completeness check to the work list
+        the caller will actually consume (the sweep's pending/sharded items
+        for its requested categories). Without it the check demands an
+        artifact for EVERY mapping_file entry — which wrongly rejects caches
+        produced by ``save_inversions`` under the default categories (the
+        reference skips category 5, p2p/test.py:114) or by a sharded sweep."""
+        if required_items is not None:
+            self.data_path = os.path.join(dataset_path, "annotation_images")
+            self.items = list(required_items)
+        else:
+            super().__init__(dataset_path, category)
         self.inversion_path = inversion_path
         missing = [
             it.key for it in self.items if self._artifact(it) is None
         ]
         if missing:
+            more = "..." if len(missing) > 5 else ""
             raise ValueError(
-                f"The inversion files are not complete (missing {missing[:5]}...)"
+                f"The inversion files are not complete (missing "
+                f"{missing[:5]}{more}; looked for <inversion_path>/<key>/"
+                f"inversion.npz or inversion_latent.pt under "
+                f"{self.inversion_path})"
             )
 
     def _artifact(self, item: PIEItem) -> Optional[str]:
@@ -104,6 +119,13 @@ class PIEPrecomputedInversion(PIE):
 
     def load_inversion(self, item: PIEItem):
         path = self._artifact(item)
+        if path is None:
+            d = os.path.join(self.inversion_path, item.key)
+            raise FileNotFoundError(
+                f"no inversion artifact for item {item.key!r}: expected "
+                f"{os.path.join(d, 'inversion.npz')} or "
+                f"{os.path.join(d, 'inversion_latent.pt')}"
+            )
         if path.endswith(".npz"):
             data = np.load(path)
             uncond = data["uncond_seq"] if "uncond_seq" in data.files else None

@@ -42,7 +42,9 @@ def ssim(a, b, window: int = 7) -> float:
     """Mean SSIM over channels (uniform window)."""
     a, b = _to_float(a), _to_float(b)
     if a.ndim == 3:
-        a, b = a[None], b[None]
+        a = a[None]
+    if b.ndim == 3:
+        b = b[None]
 
     def avg(x):
         k = jnp.ones((window, window, 1, 1), x.dtype) / (window * window)

@@ -55,6 +55,9 @@ def run_sweep(
     save_inversions: Optional[str] = None,
     inversion_path: Optional[str] = None,
     use_flash: Optional[bool] = None,
+    record_metrics: bool = True,
+    clip_checkpoint: Optional[str] = None,
+    lpips_weights=None,
 ) -> dict:
     """``batch_size`` > 1 edits image groups as one vmapped program (all four
     methods; ddim, null-text, or direct inversion; composes with
@@ -108,6 +111,23 @@ def run_sweep(
     os.makedirs(exp_path, exist_ok=True)
     event_log = os.path.join(exp_path, f"events_{method}_{shard_index}.jsonl")
 
+    # The precomputed-inversion cache stores only (latent, uncond_seq) — no
+    # trajectory — so 'direct' inversion degrades to plain ddim replay-less
+    # editing on the cache path. Make the degradation auditable instead of
+    # silent: warn the operator and record the effective mode in the stats.
+    inversion_type_effective = inversion_type
+    if inversion_path is not None and inversion_type == "direct":
+        inversion_type_effective = "ddim (cache has no trajectory)"
+        import warnings
+
+        warnings.warn(
+            "inversion_type='direct' with inversion_path: cached artifacts "
+            "hold no latent trajectory, so source-branch replay is NOT "
+            "applied — the sweep runs plain ddim editing "
+            "(stats['inversion_type_effective'] records this)",
+            stacklevel=2,
+        )
+
     # Host-parallel image IO: PNG decode (prefetch) and encode (fire-and-
     # forget saves) run off the hot loop — the reference's DataLoader
     # num_workers=8 equivalent (p2p/test.py:116).
@@ -119,18 +139,58 @@ def run_sweep(
     def save_async(img, path):
         save_futures.append(pool.submit(save_img, img, path))
 
-    def finish(item, inv_img, edit_img, elapsed):
+    # Quality metrics per image (BASELINE.md targets table): source <->
+    # reconstruction MSE/PSNR/SSIM always; CLIP-score of the edit vs the
+    # target prompt and LPIPS(source, edit) when towers are configured.
+    # Same code path the validation runway uses (eval/validate.py).
+    clip_scorer = lpips_fn = None
+    metric_rows: list = []
+    if record_metrics:
+        from image_editing_framework_tpu.eval import metrics as qmetrics
+
+        if clip_checkpoint:
+            clip_scorer = qmetrics.CLIPScore(clip_checkpoint)
+        if lpips_weights is not None:
+            from image_editing_framework_tpu.eval.lpips import LPIPS
+
+            lpips_fn = LPIPS(lpips_weights)
+
+    def finish(item, src_img, inv_img, edit_img, elapsed):
         out_dir = os.path.join(exp_path, item.key)
         save_async(inv_img, os.path.join(out_dir, "inversion.png"))
         save_async(edit_img, os.path.join(out_dir, "edit.png"))
         times.append(elapsed)
+        rec = {
+            "key": item.key, "elapsed_s": round(elapsed, 3),
+            "source_prompt": item.source_prompt,
+            "target_prompt": item.target_prompt,
+        }
+        if record_metrics:
+            from image_editing_framework_tpu.eval import metrics as qmetrics
+
+            row = {}
+            # a precomputed-inversion cache may hold latents at a different
+            # resolution than this sweep decodes at; recon metrics are only
+            # meaningful like-for-like
+            if np.shape(src_img)[-3:] == np.shape(inv_img)[-3:]:
+                row.update({
+                    "recon_mse": qmetrics.mse(src_img, inv_img),
+                    "recon_psnr": qmetrics.psnr(src_img, inv_img),
+                    "recon_ssim": qmetrics.ssim(src_img, inv_img),
+                })
+            if clip_scorer is not None:
+                row["clip_score_edit"] = clip_scorer(
+                    np.asarray(edit_img)[None], [item.target_prompt]
+                )
+            if lpips_fn is not None:
+                row["lpips_src_edit"] = lpips_fn(
+                    np.asarray(src_img)[None], np.asarray(edit_img)[None]
+                )
+            metric_rows.append(row)
+            rec.update({k: round(v, 5) for k, v in row.items()})
         # per-image observability trail (SURVEY.md §5: the reference has none)
         with open(event_log, "a") as f:
-            f.write(json.dumps({
-                "key": item.key, "elapsed_s": round(elapsed, 3),
-                "source_prompt": item.source_prompt,
-                "target_prompt": item.target_prompt,
-            }) + "\n")
+            f.write(json.dumps(rec) + "\n")
 
     try:
         if batch_size > 1:
@@ -145,7 +205,13 @@ def run_sweep(
                     PIEPrecomputedInversion,
                 )
 
-                cache = PIEPrecomputedInversion(dataset_path, inversion_path)
+                # completeness is validated against THIS sweep's work list
+                # (pending), not the whole mapping file — a cache produced by
+                # save_inversions under the default categories / a shard is
+                # complete for every item this sweep touches
+                cache = PIEPrecomputedInversion(
+                    dataset_path, inversion_path, required_items=pending
+                )
                 cache_by_key = {it.key: it for it in cache.items}
 
             groups = [
@@ -237,15 +303,17 @@ def run_sweep(
                     source_replays=source_replays, use_flash=use_flash,
                 )
                 tg = (time.perf_counter() - t0) / len(group)
-                for item, pair_imgs in zip(group, imgs):
-                    finish(item, pair_imgs[0], pair_imgs[1], tg)
+                for item, src_img, pair_imgs in zip(group, images, imgs):
+                    finish(item, src_img, pair_imgs[0], pair_imgs[1], tg)
                 done += len(group)
         else:
             cache = None
             if inversion_path is not None:
                 from image_editing_framework_tpu.data.pie import PIEPrecomputedInversion
 
-                cache = PIEPrecomputedInversion(dataset_path, inversion_path)
+                cache = PIEPrecomputedInversion(
+                    dataset_path, inversion_path, required_items=pending
+                )
                 by_key = {it.key: it for it in cache.items}
             load_future = (
                 pool.submit(load_image, pending[0].image_path, res, res)
@@ -288,7 +356,7 @@ def run_sweep(
                     method, pipe, [item.source_prompt, item.target_prompt], latent,
                     sampler, uncond_seq, kw, source_replay=replay,
                 )
-                finish(item, inv_img, edit_img, time.perf_counter() - t0)
+                finish(item, image, inv_img, edit_img, time.perf_counter() - t0)
                 done += 1
     finally:
         pool.shutdown(wait=True)  # drain workers even on per-image failures
@@ -301,12 +369,19 @@ def run_sweep(
     tail = times[max(1, batch_size):]
     stats = {
         "method": method,
+        "inversion_type": inversion_type,
+        "inversion_type_effective": inversion_type_effective,
         "images_done": done,
         "images_skipped": skipped,
         "wall_s": round(wall, 2),
         "mean_s_per_image": round(float(np.mean(times)), 3) if times else None,
         "steady_s_per_image": round(float(np.mean(tail)), 3) if tail else None,
     }
+    if metric_rows:
+        for k in sorted({k for r in metric_rows for k in r}):
+            vals = [r[k] for r in metric_rows if k in r and np.isfinite(r[k])]
+            if vals:
+                stats[f"{k}_mean"] = round(float(np.mean(vals)), 5)
     # memory observability for long-run stability evidence (SURVEY.md §5):
     # device HBM peak (TPU runtimes expose memory_stats) + host peak RSS
     try:

@@ -253,7 +253,15 @@ class EditService:
                         "status": "error", "error": f"{type(e).__name__}: {e}",
                     })
                     os.makedirs(self.rejected_dir, exist_ok=True)
-                    os.replace(path, os.path.join(self.rejected_dir, fname))
+                    # uniquify: two bad requests under the same filename over
+                    # the service lifetime must not overwrite each other's
+                    # preserved bytes ("never lose a request")
+                    dst = os.path.join(self.rejected_dir, fname)
+                    n = 1
+                    while os.path.exists(dst):
+                        dst = os.path.join(self.rejected_dir, f"{name}.{n}.json")
+                        n += 1
+                    os.replace(path, dst)
                     del self._parse_failures[fname]
                 continue
             self._parse_failures.pop(fname, None)

@@ -121,6 +121,21 @@ def test_service_spool_intake_is_atomic(tmp_path):
     r = json.load(open(os.path.join(svc.results_dir, "bad", "response.json")))
     assert r["status"] == "error"
 
+    # a SECOND bad request under the same filename later in the service
+    # lifetime must not overwrite the first's preserved bytes: the rejected
+    # copy is uniquified (bad.1.json)
+    with open(bad, "w") as f:
+        f.write("{still not json")
+    for _ in range(svc.PARSE_RETRIES + 1):
+        svc.poll_once()
+    assert (
+        open(os.path.join(svc.rejected_dir, "bad.json")).read() == "{never json"
+    )
+    assert (
+        open(os.path.join(svc.rejected_dir, "bad.1.json")).read()
+        == "{still not json"
+    )
+
 
 @pytest.mark.slow
 def test_service_batches_compatible_requests(tmp_path):

@@ -165,6 +165,107 @@ def test_sweep_batched_consumes_precomputed_inversions(mini_pie, tmp_path):
     assert stats["images_done"] == 2
 
 
+def test_cache_completeness_narrowed_to_worklist(mini_pie, tmp_path):
+    """A cache produced by save_inversions covers exactly the items a
+    default/sharded sweep touches; the consumer must accept it even though
+    other mapping_file entries (other categories/shards) have no artifact
+    (ADVICE r3 medium). Completeness is checked against the sweep's actual
+    work list, and a truly-missing artifact still raises with the item key."""
+    pipe = tiny_pipeline(num_steps=4)
+    inv = str(tmp_path / "inv_narrow")
+    # artifacts for category-0 items ONLY — item "9" (6_other) gets none
+    for item in PIE(mini_pie, category=0).items:
+        save_inversion(inv, item.key, np.zeros((1, 4, 4, 4), np.float32),
+                       np.zeros((4, 77, 32), np.float32))
+    # serial consumer restricted to category 0: must not demand item 9
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, str(tmp_path / "exp_n1"), inversion_type="ddim",
+        categories=(0,), max_items=1, resolution=32, inversion_path=inv,
+    )
+    assert stats["images_done"] == 1
+    # batched consumer too
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, str(tmp_path / "exp_n2"), inversion_type="ddim",
+        categories=(0,), max_items=2, resolution=32, batch_size=2,
+        inversion_path=inv,
+    )
+    assert stats["images_done"] == 2
+    # an item the sweep DOES need but the cache lacks still raises, naming it
+    with pytest.raises(ValueError, match="not complete"):
+        run_sweep(
+            pipe, "p2p", mini_pie, str(tmp_path / "exp_n3"),
+            inversion_type="ddim", categories=(6,), max_items=1,
+            resolution=32, inversion_path=inv,
+        )
+
+
+def test_load_inversion_missing_artifact_clear_error(mini_pie, tmp_path):
+    """An artifact vanishing after construction raises FileNotFoundError
+    naming the item and the accepted filenames — not an AttributeError on
+    None (ADVICE r3 low)."""
+    import shutil
+
+    inv = str(tmp_path / "inv_gone")
+    for item in PIE(mini_pie).items:
+        save_inversion(inv, item.key, np.zeros((1, 4, 4, 4), np.float32))
+    ds = PIEPrecomputedInversion(mini_pie, inv, category=0)
+    victim = ds[0]
+    shutil.rmtree(os.path.join(inv, victim.key))
+    with pytest.raises(FileNotFoundError, match=victim.key):
+        ds.load_inversion(victim)
+
+
+def test_direct_inversion_with_cache_is_audited(mini_pie, tmp_path):
+    """inversion_type='direct' + inversion_path degrades to ddim (the cache
+    holds no trajectory); the degradation must be audible: a warning and
+    stats['inversion_type_effective'] (ADVICE r3 low)."""
+    pipe = tiny_pipeline(num_steps=4)
+    inv = str(tmp_path / "inv_d")
+    for item in PIE(mini_pie, category=0).items:
+        save_inversion(inv, item.key, np.zeros((1, 4, 4, 4), np.float32))
+    with pytest.warns(UserWarning, match="replay is NOT applied"):
+        stats = run_sweep(
+            pipe, "p2p", mini_pie, str(tmp_path / "exp_d"),
+            inversion_type="direct", categories=(0,), max_items=1,
+            resolution=32, inversion_path=inv,
+        )
+    assert stats["inversion_type"] == "direct"
+    assert stats["inversion_type_effective"].startswith("ddim")
+    # without a cache the mode is genuinely direct
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, str(tmp_path / "exp_d2"),
+        inversion_type="direct", categories=(0,), max_items=1, resolution=32,
+    )
+    assert stats["inversion_type_effective"] == "direct"
+
+
+def test_sweep_records_quality_metrics(mini_pie, tmp_path):
+    """The sweep emits per-image source<->reconstruction MSE/PSNR/SSIM into
+    the event log and aggregate *_mean columns into the stats (VERDICT r3
+    item 3: the quantitative table BASELINE.md promises, not latency only)."""
+    pipe = tiny_pipeline(num_steps=4)
+    exp = str(tmp_path / "exp_metrics")
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, exp, inversion_type="ddim", categories=(0,),
+        max_items=2, resolution=32,
+    )
+    for col in ("recon_mse_mean", "recon_psnr_mean", "recon_ssim_mean"):
+        assert col in stats and np.isfinite(stats[col])
+    assert -1.0 <= stats["recon_ssim_mean"] <= 1.0
+    rows = [json.loads(l) for l in open(
+        os.path.join(exp, "events_p2p_0.jsonl"))]
+    assert len(rows) == 2
+    for r in rows:
+        assert {"recon_mse", "recon_psnr", "recon_ssim"} <= set(r)
+    # opt-out for maximum-throughput runs
+    stats = run_sweep(
+        pipe, "p2p", mini_pie, str(tmp_path / "exp_nometrics"),
+        inversion_type="ddim", categories=(0,), max_items=1, resolution=32,
+        record_metrics=False,
+    )
+    assert "recon_mse_mean" not in stats
+
+
 @pytest.mark.slow
 def test_sweep_batched_mode(mini_pie, tmp_path):
     pipe = tiny_pipeline(num_steps=4)

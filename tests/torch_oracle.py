@@ -469,6 +469,134 @@ class TinyTorchXLUNet(nn.Module):
         return self.conv_out(F.silu(self.conv_norm_out(h)))
 
 
+class ConfigTorchUNet(nn.Module):
+    """Config-driven oracle: builds the diffusers UNet2DConditionModel
+    structure (state_dict naming included) for ANY ``UNetConfig`` — used to
+    cross-validate the Flax model + production ``loader.unet_key`` mapping at
+    the REAL SD1.5/SDXL widths (VERDICT r4 item 2: GroupNorm at 320/640/1280,
+    8-head/dim-40 partitioning, XL 10-layer mid stacks), not just tiny shapes.
+
+    Only reads plain attributes off ``cfg`` (the framework's UNetConfig
+    dataclass); reproduces the diffusers up-block skip-channel rule
+    (diffusers unet_2d_condition.py: resnet_in = prev_out if j==0 else out,
+    skip = level_in if j==last else out).
+    """
+
+    def __init__(self, cfg):
+        super().__init__()
+        blocks = list(cfg.block_out_channels)
+        temb = 4 * blocks[0]
+        n_levels = len(blocks)
+        lpb = cfg.layers_per_block
+        ctx = cfg.cross_attention_dim
+        linear = cfg.use_linear_projection
+        self._t_dim = blocks[0]
+        self._add_dim = cfg.addition_time_embed_dim
+
+        def make_attn(ch, level):
+            tl = cfg.transformer_layers[level]
+            heads = cfg.num_heads[level]
+            if linear:
+                return Transformer2DLinear(ch, heads, ctx, tl)
+            return Transformer2D(ch, heads, ctx, tl)
+
+        self.time_embedding = TimestepEmbedding(blocks[0], temb)
+        if cfg.addition_time_embed_dim is not None:
+            self.add_embedding = TimestepEmbedding(
+                cfg.projection_class_embeddings_input_dim, temb
+            )
+        self.conv_in = nn.Conv2d(cfg.in_channels, blocks[0], 3, padding=1)
+
+        down = []
+        out_ch = blocks[0]
+        for i, btype in enumerate(cfg.down_block_types):
+            in_ch, out_ch = out_ch, blocks[i]
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList(
+                [ResnetBlock(in_ch if j == 0 else out_ch, out_ch, temb)
+                 for j in range(lpb)]
+            )
+            if btype == "CrossAttnDownBlock2D":
+                blk.attentions = nn.ModuleList(
+                    [make_attn(out_ch, i) for _ in range(lpb)]
+                )
+            blk.downsamplers = (
+                None if i == n_levels - 1
+                else nn.ModuleList([Downsample(out_ch)])
+            )
+            down.append(blk)
+        self.down_blocks = nn.ModuleList(down)
+
+        mid_ch = blocks[-1]
+        m = nn.Module()
+        m.resnets = nn.ModuleList(
+            [ResnetBlock(mid_ch, mid_ch, temb), ResnetBlock(mid_ch, mid_ch, temb)]
+        )
+        m.attentions = nn.ModuleList([make_attn(mid_ch, n_levels - 1)])
+        self.mid_block = m
+
+        up = []
+        rev = list(reversed(blocks))
+        out_ch = rev[0]
+        for i, btype in enumerate(cfg.up_block_types):
+            prev_out, out_ch = out_ch, rev[i]
+            level_in = rev[min(i + 1, n_levels - 1)]
+            level = n_levels - 1 - i
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList()
+            for j in range(lpb + 1):
+                res_in = prev_out if j == 0 else out_ch
+                skip = level_in if j == lpb else out_ch
+                blk.resnets.append(ResnetBlock(res_in + skip, out_ch, temb))
+            if btype == "CrossAttnUpBlock2D":
+                blk.attentions = nn.ModuleList(
+                    [make_attn(out_ch, level) for _ in range(lpb + 1)]
+                )
+            blk.upsamplers = (
+                None if i == n_levels - 1
+                else nn.ModuleList([Upsample(out_ch)])
+            )
+            up.append(blk)
+        self.up_blocks = nn.ModuleList(up)
+
+        self.conv_norm_out = nn.GroupNorm(32, blocks[0], eps=1e-5)
+        self.conv_out = nn.Conv2d(blocks[0], cfg.out_channels, 3, padding=1)
+
+    def forward(self, x, t, ctx, text_embeds=None, time_ids=None):
+        temb = self.time_embedding(timestep_embedding(t, self._t_dim))
+        if text_embeds is not None:
+            b = x.shape[0]
+            te = timestep_embedding(
+                time_ids.reshape(-1), self._add_dim
+            ).reshape(b, -1)
+            temb = temb + self.add_embedding(
+                torch.cat([text_embeds, te], dim=-1)
+            )
+        h = self.conv_in(x)
+        skips = [h]
+        for blk in self.down_blocks:
+            for j, res in enumerate(blk.resnets):
+                h = res(h, temb)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
+                skips.append(h)
+            if blk.downsamplers is not None:
+                h = blk.downsamplers[0](h)
+                skips.append(h)
+        h = self.mid_block.resnets[0](h, temb)
+        h = self.mid_block.attentions[0](h, ctx)
+        h = self.mid_block.resnets[1](h, temb)
+        for blk in self.up_blocks:
+            for j, res in enumerate(blk.resnets):
+                h = torch.cat([h, skips.pop()], dim=1)
+                h = res(h, temb)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
+            if blk.upsamplers is not None:
+                h = blk.upsamplers[0](h)
+        return self.conv_out(F.silu(self.conv_norm_out(h)))
+
+
 class TinyTorchRefinerUNet(nn.Module):
     """TINY_REFINER_UNET: levels (32, 64, 64), down = [Down, CrossAttn(tl=2),
     Down], up = [Up, CrossAttnUp(tl=2), Up], heads 2, ctx 32, linear
