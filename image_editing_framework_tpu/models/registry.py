@@ -173,6 +173,25 @@ def load_pipeline(
     single_file = root.endswith(".safetensors")
     text2_ckpt = None
     if single_file:
+        # tokenizer files must sit next to the single file or in the base
+        # registry entry for the family; fail BEFORE the (expensive) LDM
+        # conversion with both tried paths rather than later with a
+        # confusing tokenizer-file error (a user with only a community
+        # .safetensors commonly has neither)
+        base = "xl-base" if spec.model_type == "xl" else "1.5"
+        local_tok = os.path.join(os.path.dirname(root), "tokenizer")
+        base_tok = os.path.join(sd_mapping.sd_maps[base], "tokenizer")
+        tok_dir = local_tok if os.path.isdir(local_tok) else base_tok
+        if not os.path.isdir(tok_dir):
+            raise FileNotFoundError(
+                f"no tokenizer files for single-file checkpoint {root}: "
+                f"looked for {local_tok} (next to the checkpoint) and "
+                f"{base_tok} (the {base!r} base entry). Either place a "
+                f"tokenizer/ directory (vocab.json + merges.txt) next to the "
+                f".safetensors file, or point sd_maps[{base!r}] in "
+                f"sd_mapping.py at a full {base} checkpoint directory."
+            )
+
         from image_editing_framework_tpu.models import convert_ldm
 
         vae_cfg_tmp = spec.vae_config
@@ -184,12 +203,6 @@ def load_pipeline(
             unet_ckpt, vae_ckpt, text_ckpt = convert_ldm.convert_single_file(
                 root, spec.unet, vae_cfg_tmp
             )
-        # tokenizer files must sit next to the single file or in the base
-        # registry entry for the family
-        base = "xl-base" if spec.model_type == "xl" else "1.5"
-        tok_dir = os.path.join(os.path.dirname(root), "tokenizer")
-        if not os.path.isdir(tok_dir):
-            tok_dir = os.path.join(sd_mapping.sd_maps[base], "tokenizer")
 
     is_xl = spec.model_type == "xl"
     unet = UNet2DCondition(spec.unet, dtype=dtype)

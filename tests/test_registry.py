@@ -158,6 +158,33 @@ def test_load_pipeline_xl_refiner(fake_ckpts):
     assert np.isfinite(out.astype(np.float32)).all()
 
 
+def test_single_file_without_tokenizer_fails_early_and_clearly(tmp_path, monkeypatch):
+    """A lone community .safetensors with no adjacent tokenizer/ and a base
+    registry entry that points nowhere must fail IMMEDIATELY with both tried
+    paths and the sd_mapping.py remedy — not later with a confusing
+    tokenizer-file error (reference README.md:30's 'edit sd_mapping.py'
+    contract)."""
+    from image_editing_framework_tpu import sd_mapping
+
+    lone = tmp_path / "communityModel.safetensors"
+    lone.write_bytes(b"")  # never read: the check fails before conversion
+    monkeypatch.setitem(
+        sd_mapping.sd_maps, "1.5", str(tmp_path / "missing-base")
+    )
+    with pytest.raises(FileNotFoundError) as e:
+        load_pipeline("1.5", path=str(lone))
+    msg = str(e.value)
+    assert str(tmp_path / "tokenizer") in msg          # path next to the file
+    assert str(tmp_path / "missing-base") in msg       # base entry tried
+    assert "sd_mapping.py" in msg                      # the remedy
+    # with a tokenizer/ directory NEXT TO the file the check passes and the
+    # load proceeds into conversion (which then reads the checkpoint itself)
+    _write_tokenizer(tmp_path / "tokenizer")
+    with pytest.raises(Exception) as e2:
+        load_pipeline("1.5", path=str(lone))
+    assert not isinstance(e2.value, FileNotFoundError)
+
+
 def test_load_refiner_pipeline_standalone(fake_ckpts):
     """Standalone refiner load (no base): towers/vae read from the refiner
     dir itself — requires text_encoder_2/vae/tokenizer_2 alongside unet."""

@@ -368,6 +368,81 @@ class TinyTorchVAE(nn.Module):
         return d.conv_out(F.silu(d.conv_norm_out(h)))
 
 
+class ConfigTorchVAE(nn.Module):
+    """Config-driven AutoencoderKL oracle (diffusers conventions + state_dict
+    naming) for ANY ``VAEConfig`` — validates the Flax VAE + ``loader.vae_key``
+    at the REAL (128, 256, 512, 512) widths, not just tiny shapes."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        blocks = list(cfg.block_out_channels)
+        lpb = cfg.layers_per_block
+        lat = cfg.latent_channels
+
+        enc = nn.Module()
+        enc.conv_in = nn.Conv2d(cfg.in_channels, blocks[0], 3, padding=1)
+        downs = []
+        out_ch = blocks[0]
+        for i, ch in enumerate(blocks):
+            in_ch, out_ch = out_ch, ch
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList(
+                [VAEResnet(in_ch if j == 0 else out_ch, out_ch)
+                 for j in range(lpb)]
+            )
+            if i != len(blocks) - 1:
+                ds = nn.ModuleDict(
+                    {"conv": nn.Conv2d(out_ch, out_ch, 3, stride=2, padding=0)}
+                )
+                blk.downsamplers = nn.ModuleList([ds])
+            else:
+                blk.downsamplers = None
+            downs.append(blk)
+        enc.down_blocks = nn.ModuleList(downs)
+        enc.mid_block = nn.Module()
+        enc.mid_block.resnets = nn.ModuleList(
+            [VAEResnet(blocks[-1], blocks[-1]), VAEResnet(blocks[-1], blocks[-1])]
+        )
+        enc.mid_block.attentions = nn.ModuleList([VAEAttn(blocks[-1])])
+        enc.conv_norm_out = nn.GroupNorm(min(32, blocks[-1]), blocks[-1], eps=1e-6)
+        enc.conv_out = nn.Conv2d(blocks[-1], 2 * lat, 3, padding=1)
+        self.encoder = enc
+
+        dec = nn.Module()
+        dec.conv_in = nn.Conv2d(lat, blocks[-1], 3, padding=1)
+        dec.mid_block = nn.Module()
+        dec.mid_block.resnets = nn.ModuleList(
+            [VAEResnet(blocks[-1], blocks[-1]), VAEResnet(blocks[-1], blocks[-1])]
+        )
+        dec.mid_block.attentions = nn.ModuleList([VAEAttn(blocks[-1])])
+        ups = []
+        rev = list(reversed(blocks))
+        out_ch = rev[0]
+        for i, ch in enumerate(rev):
+            in_ch, out_ch = out_ch, ch
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList(
+                [VAEResnet(in_ch if j == 0 else out_ch, out_ch)
+                 for j in range(lpb + 1)]
+            )
+            if i != len(blocks) - 1:
+                us = nn.ModuleDict({"conv": nn.Conv2d(out_ch, out_ch, 3, padding=1)})
+                blk.upsamplers = nn.ModuleList([us])
+            else:
+                blk.upsamplers = None
+            ups.append(blk)
+        dec.up_blocks = nn.ModuleList(ups)
+        dec.conv_norm_out = nn.GroupNorm(min(32, blocks[0]), blocks[0], eps=1e-6)
+        dec.conv_out = nn.Conv2d(blocks[0], cfg.out_channels, 3, padding=1)
+        self.decoder = dec
+
+        self.quant_conv = nn.Conv2d(2 * lat, 2 * lat, 1)
+        self.post_quant_conv = nn.Conv2d(lat, lat, 1)
+
+    encode_mean = TinyTorchVAE.encode_mean
+    decode = TinyTorchVAE.decode
+
+
 # ---------------------------------------------------------------------------
 # XL-flavored UNet oracle: text_time addition embeddings, linear projection,
 # multiple transformer blocks per Transformer2D.

@@ -50,6 +50,14 @@ def main() -> None:
     # jax.process_index()
     p.add_argument("--shard_index", type=int, default=None)
     p.add_argument("--shard_count", type=int, default=None)
+    p.add_argument("--save_inversions", type=str, default=None,
+                   help="directory to write per-image inversion artifacts "
+                        "(latent + NTI uncond_seq) — the cache producer the "
+                        "reference lacks (p2p/dataset/pie.py:25-51 only "
+                        "consumes)")
+    p.add_argument("--inversion_path", type=str, default=None,
+                   help="consume precomputed inversions from this cache "
+                        "instead of inverting (npz or reference .pt layouts)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny_pipeline instead of production shapes (CPU-"
                         "sized; used by tools/concurrent_shard_demo.py)")
@@ -103,6 +111,8 @@ def main() -> None:
         inversion_type=args.inversion_type, seed=args.seed,
         shard_index=proc, shard_count=count, batch_size=args.batch_size,
         max_items=args.max_items, resolution=args.resolution,
+        save_inversions=args.save_inversions,
+        inversion_path=args.inversion_path,
         **({"use_flash": use_flash} if use_flash is not None else {}),
     )
     print(f"[process {proc}/{count}] {stats}")
