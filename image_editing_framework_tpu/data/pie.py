@@ -129,7 +129,9 @@ class PIEPrecomputedInversion(PIE):
         if path.endswith(".npz"):
             data = np.load(path)
             uncond = data["uncond_seq"] if "uncond_seq" in data.files else None
-            return data["latent"], uncond
+            return _denpz(data["latent"]), (
+                None if uncond is None else _denpz(uncond)
+            )
         return _load_reference_inversion(os.path.dirname(path))
 
 
@@ -153,12 +155,29 @@ def _load_reference_inversion(d: str):
     return latent, uncond
 
 
+def _denpz(arr: np.ndarray) -> np.ndarray:
+    """Undo numpy's lossy round-trip of ml_dtypes arrays: np.savez writes a
+    bfloat16 array but np.load hands back raw void ('V2') bytes, which later
+    jnp.asarray(..., dtype) rejects with 'No cast function available'. New
+    caches are written as float32 (see save_inversion); this keeps caches
+    produced by bf16 pipelines before that fix loadable."""
+    if arr.dtype == np.dtype("V2"):
+        import ml_dtypes
+
+        return arr.view(ml_dtypes.bfloat16).astype(np.float32)
+    return arr
+
+
 def save_inversion(inversion_path: str, key: str, latent, uncond_seq=None) -> None:
     """Producer side of the precomputed-inversion cache (the reference ships
-    only the consumer; p2p/test.py sets inversion_path=None)."""
+    only the consumer; p2p/test.py sets inversion_path=None).
+
+    Arrays are stored float32: np.savez silently degrades ml_dtypes arrays
+    (a bf16 pipeline's latents) to raw void bytes that np.load cannot cast
+    back, and float32 artifacts match the reference's .pt layout anyway."""
     d = os.path.join(inversion_path, key)
     os.makedirs(d, exist_ok=True)
-    arrays = {"latent": np.asarray(latent)}
+    arrays = {"latent": np.asarray(latent, np.float32)}
     if uncond_seq is not None:
-        arrays["uncond_seq"] = np.asarray(uncond_seq)
+        arrays["uncond_seq"] = np.asarray(uncond_seq, np.float32)
     np.savez(os.path.join(d, "inversion.npz"), **arrays)

@@ -93,6 +93,38 @@ def test_precomputed_inversion_cache(mini_pie, tmp_path):
     assert latent.shape == (1, 8, 8, 4) and uncond.shape == (4, 77, 32)
 
 
+def test_precomputed_inversion_cache_bf16_producer(mini_pie, tmp_path):
+    """A bf16 pipeline's latents must round-trip through the npz cache:
+    np.savez writes ml_dtypes.bfloat16 arrays as raw void ('V2') bytes that
+    np.load cannot cast ('No cast function available' — found by the 100-image
+    on-chip NTI rehearsal). The producer now stores float32; the loader also
+    rescues caches written before the fix by viewing V2 back as bfloat16."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    inv = str(tmp_path / "inv")
+    data = PIE(mini_pie, category=0)
+    lat = jnp.full((1, 8, 8, 4), 1.5, jnp.bfloat16)
+    for item in data.items:
+        save_inversion(inv, item.key, lat, jnp.zeros((4, 77, 32), jnp.bfloat16))
+    ds = PIEPrecomputedInversion(mini_pie, inv, category=0)
+    latent, uncond = ds.load_inversion(ds[0])
+    assert latent.dtype == np.float32 and uncond.dtype == np.float32
+    np.testing.assert_allclose(latent, 1.5)
+    out = jnp.asarray(latent, jnp.bfloat16)  # the consumer's exact cast
+    assert out.dtype == jnp.bfloat16
+
+    # pre-fix artifact (raw bf16 written straight through savez) still loads
+    item = data.items[0]
+    np.savez(
+        os.path.join(inv, item.key, "inversion.npz"),
+        latent=np.full((1, 8, 8, 4), 2.5, ml_dtypes.bfloat16),
+    )
+    latent, uncond = ds.load_inversion(ds[0])
+    assert latent.dtype == np.float32 and uncond is None
+    np.testing.assert_allclose(latent, 2.5)
+
+
 def test_precomputed_inversion_reference_pt_layout(mini_pie, tmp_path):
     """Reference-produced .pt artifact directories load directly
     (p2p/dataset/pie.py:47-48: NCHW inversion_latent.pt + a per-step list in

@@ -75,16 +75,26 @@ def main() -> None:
     result = {"n": args.n, "batch_size": args.batch_size,
               "inversion_type": "null-text"}
 
-    print("phase P: null-text sweep producing the inversion cache ...")
-    t0 = time.time()
-    proc = launch(ds, os.path.join(args.root, "exp_produce"), args.n,
-                  args.batch_size,
-                  ["--inversion_type", "null-text", "--save_inversions", inv])
-    sys.stdout.write(proc.stdout[-1500:])
-    if proc.returncode != 0:
-        print(f"phase P FAILED rc={proc.returncode}")
-        sys.exit(1)
-    result["produce_wall_s"] = round(time.time() - t0, 1)
+    produce_stats_path = os.path.join(args.root, "exp_produce",
+                                      "sweep_stats_p2p_0.json")
+    if os.path.exists(produce_stats_path):
+        # resume: a completed phase P (and its cache) is expensive (~40 min
+        # at n=100) — reuse it and only re-drive the consumer
+        print("phase P already complete; reusing its cache ...")
+        with open(produce_stats_path) as f:
+            result["produce_wall_s"] = json.load(f).get("wall_s")
+    else:
+        print("phase P: null-text sweep producing the inversion cache ...")
+        t0 = time.time()
+        proc = launch(ds, os.path.join(args.root, "exp_produce"), args.n,
+                      args.batch_size,
+                      ["--inversion_type", "null-text",
+                       "--save_inversions", inv])
+        sys.stdout.write(proc.stdout[-1500:])
+        if proc.returncode != 0:
+            print(f"phase P FAILED rc={proc.returncode}")
+            sys.exit(1)
+        result["produce_wall_s"] = round(time.time() - t0, 1)
     with open(os.path.join(args.root, "exp_produce",
                            "sweep_stats_p2p_0.json")) as f:
         result["produce_stats"] = json.load(f)
