@@ -38,3 +38,63 @@ def test_flash_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+@pytest.mark.parametrize("d", [40, 64])
+def test_flash_transposed_layout_matches_classic(d, monkeypatch):
+    """The no-bias inference primal dispatches to the transposed-layout
+    kernel (_fwd_kernel_t) at head_dim < 128; IEF_FLASH_T=0 must restore the
+    classic layout, and both must agree with the O(N^2) reference. The jit
+    cache is cleared between variants — the env switch is read at TRACE
+    time, so a stale cache entry would silently serve the other variant."""
+    from image_editing_framework_tpu.ops import flash_attention as fa
+
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7 + d), 3)
+    q = jax.random.normal(kq, (2, 3, 256, d), jnp.float32)
+    k = jax.random.normal(kk, (2, 3, 131, d), jnp.float32)  # padded-KV path
+    v = jax.random.normal(kv, (2, 3, 131, d), jnp.float32)
+    ref = np.asarray(reference_attention(q, k, v))
+
+    fa.flash_attention.clear_cache()
+    assert fa._use_t_layout(d)
+    out_t = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128))
+
+    monkeypatch.setenv("IEF_FLASH_T", "0")
+    fa.flash_attention.clear_cache()
+    assert not fa._use_t_layout(d)
+    out_c = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128))
+    fa.flash_attention.clear_cache()
+
+    np.testing.assert_allclose(out_t, ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(out_c, ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(out_t, out_c, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_transposed_layout_under_vmap_and_grad_dispatch():
+    """vmapped editing programs wrap flash_attention in vmap; the transposed
+    primal must hold there, and differentiation must still route through the
+    classic custom-VJP path (the T layout has no backward)."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (2, 1, 2, 128, 40), jnp.float32)
+    k = jax.random.normal(kk, (2, 1, 2, 128, 40), jnp.float32)
+    v = jax.random.normal(kv, (2, 1, 2, 128, 40), jnp.float32)
+    out = jax.vmap(
+        lambda a, b, c: flash_attention(a, b, c, block_q=128, block_k=128)
+    )(q, k, v)
+    ref = jax.vmap(reference_attention)(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+    def loss(qq):
+        return flash_attention(qq, k[0], v[0], block_q=128, block_k=128).sum()
+
+    g = jax.grad(loss)(q[0])
+
+    def loss_ref(qq):
+        return reference_attention(qq, k[0], v[0]).sum()
+
+    g_ref = jax.grad(loss_ref)(q[0])
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=2e-4, rtol=2e-4
+    )
