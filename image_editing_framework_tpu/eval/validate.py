@@ -102,6 +102,15 @@ def validate_pipeline(
         # XL p2z rematerializes its reference maps (cli.run_method default);
         # the mode changes compiled-program numerics, so goldens record it.
         "p2z_recompute_refs": pipe.model_type == "xl" and "p2z" in methods,
+        # flash kernel operand layout (ops/flash_attention._use_t_layout):
+        # the transposed inference primal changes accumulation order and
+        # therefore golden hashes; reports written before this field existed
+        # pinned the classic layout (golden_check replays them under
+        # IEF_FLASH_T=0).
+        "flash_layout": (
+            "transposed" if os.environ.get("IEF_FLASH_T", "1") != "0"
+            else "classic"
+        ),
         "provenance": provenance or "loaded checkpoint",
         "methods": {},
     }

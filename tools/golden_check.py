@@ -38,6 +38,15 @@ def main(argv=None) -> int:
               f"{sorted(report['methods'])}")
         return 2
 
+    # Replay the report under the flash-kernel operand layout it pinned:
+    # reports written before the transposed inference primal existed (no
+    # flash_layout field) captured the classic layout, and the layouts'
+    # different accumulation orders legitimately change hashes. Must be set
+    # before any tracing — the flag is read at trace time.
+    layout = report.get("flash_layout", "classic")
+    os.environ["IEF_FLASH_T"] = "0" if layout == "classic" else "1"
+    print(f"replaying with flash_layout={layout}")
+
     import jax
     import jax.numpy as jnp
 
