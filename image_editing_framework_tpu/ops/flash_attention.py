@@ -198,7 +198,7 @@ def _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, kv_len, has_bias=True,
 
 
 def _fwd_kernel_t(
-    q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr,
+    q_ref, k_ref, vt_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     *, sm_scale, kv_len, block_k,
 ):
     """Transposed-layout online-softmax tile (no-bias inference path).
@@ -260,36 +260,76 @@ def _fwd_kernel_t(
         o_ref[0] = (acc_scr[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)).astype(
             o_ref.dtype
         )
+        if lse_ref is not None:
+            # stats are already lane-major here — no relayout, unlike the
+            # classic kernel's m_scr[:, 0] sublane extraction
+            lse_ref[0, 0, :] = (
+                m_scr[0] + jnp.log(jnp.maximum(l_scr[0], 1e-37))
+            )
 
 
-def _fwd_impl_t(qf, kf, vtf, sm_scale, bq, bk, kv_len):
+def _fwd_kernel_t_nolse(
+    q_ref, k_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, sm_scale, kv_len, block_k,
+):
+    _fwd_kernel_t(
+        q_ref, k_ref, vt_ref, o_ref, None, m_scr, l_scr, acc_scr,
+        sm_scale=sm_scale, kv_len=kv_len, block_k=block_k,
+    )
+
+
+def _fwd_impl_t(qf, kf, vtf, sm_scale, bq, bk, kv_len, want_lse=False):
     bh, nq, dp = qf.shape
     d8 = vtf.shape[1]
     nk_pad = kf.shape[1]
     grid = (bh, nq // bq, nk_pad // bk)
-    out = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+        pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
+        pl.BlockSpec((1, d8, bk), lambda b, qi, ki: (b, 0, ki)),
+    ]
+    scratch = [
+        pltpu.VMEM((8, bq), jnp.float32),
+        pltpu.VMEM((8, bq), jnp.float32),
+        pltpu.VMEM((d8, bq), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if not want_lse:
+        out = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_t_nolse, sm_scale=sm_scale, kv_len=kv_len,
+                block_k=bk,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bh, d8, nq), qf.dtype),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, d8, bq), lambda b, qi, ki: (b, 0, qi)),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(qf, kf, vtf)
+        return out, None
+    out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel_t, sm_scale=sm_scale, kv_len=kv_len, block_k=bk,
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, d8, nq), qf.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, d8, bk), lambda b, qi, ki: (b, 0, ki)),
-        ],
-        out_specs=pl.BlockSpec((1, d8, bq), lambda b, qi, ki: (b, 0, qi)),
-        scratch_shapes=[
-            pltpu.VMEM((8, bq), jnp.float32),
-            pltpu.VMEM((8, bq), jnp.float32),
-            pltpu.VMEM((d8, bq), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, d8, nq), qf.dtype),
+            jax.ShapeDtypeStruct((bh, 1, nq), jnp.float32),
         ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, d8, bq), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, qi, ki: (b, 0, qi)),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=_interpret(),
     )(qf, kf, vtf)
-    return out
+    return out, lse
 
 
 def _use_t_layout(d: int) -> bool:
@@ -521,7 +561,7 @@ def _flash(q, k, v, bias, sm_scale, block_q, block_k, has_bias=True):
         qf, kf, vtf, (b, h, nq, nk, d, d8, bq, bk) = _prep_t(
             q, k, v, block_q, block_k
         )
-        out_t = _fwd_impl_t(qf, kf, vtf, sm_scale, bq, bk, nk)
+        out_t, _ = _fwd_impl_t(qf, kf, vtf, sm_scale, bq, bk, nk)
         return jnp.swapaxes(out_t.reshape(b, h, d8, nq), 2, 3)[..., :d]
     qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
         q, k, v, bias, block_q, block_k
@@ -621,6 +661,17 @@ def flash_attention_fwd_lse(
     """
     sm_scale, block_q, block_k = _defaults(q, k, sm_scale, block_q, block_k)
     has_bias = bias is not None
+    if not has_bias and _use_t_layout(q.shape[-1]):
+        # ring/Ulysses CP inference local step in the transposed layout —
+        # the lse merge math downstream is layout-agnostic (same global
+        # quantity), and the ring VJP's classic recompute consumes it as-is.
+        qf, kf, vtf, (b, h, nq, nk, d, d8, bq, bk) = _prep_t(
+            q, k, v, block_q, block_k
+        )
+        out_t, lse = _fwd_impl_t(qf, kf, vtf, sm_scale, bq, bk, nk,
+                                 want_lse=True)
+        out = jnp.swapaxes(out_t.reshape(b, h, d8, nq), 2, 3)[..., :d]
+        return out, lse.reshape(b, h, nq)
     if bias is None:
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
     qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(

@@ -70,6 +70,37 @@ def test_flash_transposed_layout_matches_classic(d, monkeypatch):
     np.testing.assert_allclose(out_t, out_c, atol=2e-5, rtol=2e-5)
 
 
+def test_flash_fwd_lse_transposed_matches_classic():
+    """The CP local step (flash_attention_fwd_lse) also dispatches to the
+    transposed layout at d <= 64 without bias; its (out, lse) must equal the
+    classic kernel's — the ring merge and the ring VJP's classic recompute
+    consume them interchangeably."""
+    from image_editing_framework_tpu.ops import flash_attention as fa
+
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(kq, (2, 2, 256, 64), jnp.float32)
+    k = jax.random.normal(kk, (2, 2, 200, 64), jnp.float32)  # padded KV
+    v = jax.random.normal(kv, (2, 2, 200, 64), jnp.float32)
+
+    out_t, lse_t = fa.flash_attention_fwd_lse(q, k, v, block_q=128,
+                                              block_k=128)
+    import os as _os
+
+    _os.environ["IEF_FLASH_T"] = "0"
+    try:
+        out_c, lse_c = fa.flash_attention_fwd_lse(q, k, v, block_q=128,
+                                                  block_k=128)
+    finally:
+        _os.environ.pop("IEF_FLASH_T", None)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_c),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse_t), np.asarray(lse_c),
+                               atol=2e-5, rtol=2e-5)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_flash_transposed_layout_under_vmap_and_grad_dispatch():
     """vmapped editing programs wrap flash_attention in vmap; the transposed
     primal must hold there, and differentiation must still route through the
