@@ -576,6 +576,21 @@ def _flash_fwd(q, k, v, bias, sm_scale, block_q, block_k, has_bias=True):
     qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
         q, k, v, bias, block_q, block_k
     )
+    if not has_bias and _use_t_layout(d):
+        # differentiable forward in the transposed layout (the T kernel
+        # emits lse from its lane-major stats at no cost); the backward
+        # kernels recompute probability tiles from q/k/lse themselves, so
+        # the residual `out` only feeds di = sum(o * do) — re-padding it to
+        # the classic (bh, nq, dp) residual layout is one cheap XLA copy.
+        _, _, vtf, (_, _, _, _, _, d8, bqt, bkt) = _prep_t(
+            q, k, v, block_q, block_k
+        )
+        out_t, lse = _fwd_impl_t(qf, kf, vtf, sm_scale, bqt, bkt, nk,
+                                 want_lse=True)
+        out_c = jnp.swapaxes(out_t, 1, 2)  # (bh, nq, d8)
+        out = _pad_to(out_c, 2, dp) if dp != d8 else out_c
+        res = (qf, kf, vf, biasf, out, lse, (b, h, nq, nk, d, dp, bq, bk))
+        return out_c.reshape(b, h, nq, d8)[..., :d], res
     out, lse = _fwd_impl(qf, kf, vf, biasf, sm_scale, bq, bk, nk, has_bias)
     res = (qf, kf, vf, biasf, out, lse, (b, h, nq, nk, d, dp, bq, bk))
     return out.reshape(b, h, nq, dp)[..., :d], res
