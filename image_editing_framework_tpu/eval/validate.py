@@ -111,6 +111,17 @@ def validate_pipeline(
             "transposed" if os.environ.get("IEF_FLASH_T", "1") != "0"
             else "classic"
         ),
+        # backward-kernel layout (ops/flash_attention._use_bwd_t_layout):
+        # changes gradient numerics for p2z/NTI; golden_check replays under
+        # the recorded value (missing field = classic, pre-round-4 reports).
+        # "auto" = the production default (T kernels at nq >= 4096 sites,
+        # classic below); "classic" = killswitched off everywhere.
+        "flash_bwd_layout": (
+            "auto"
+            if os.environ.get("IEF_FLASH_T", "1") != "0"
+            and os.environ.get("IEF_FLASH_BWD_T", "") != "0"
+            else "classic"
+        ),
         "provenance": provenance or "loaded checkpoint",
         "methods": {},
     }

@@ -21,7 +21,12 @@ p2p/inversion/nti.py:23-29, and pix2pix-zero's latent SGD,
 pix2pix-zero/model/sd_utils.py:157-174) follows the standard flash recipe:
 the forward saves only the per-row log-sum-exp; two kernels recompute
 probability tiles on the fly — dQ iterating KV tiles, dK/dV iterating Q
-tiles — with di = sum(o * do) precomputed once.
+tiles — with di = sum(o * do) precomputed once. At head_dim <= 64 and
+query length >= 4096 (a measured threshold, tools/bench_flash_bwd_t.py)
+the no-bias backward uses transposed-layout kernels (_bwd_dq_kernel_t /
+_bwd_dkv_kernel_t): the dQ/dK/dV accumulations land head_dim in 8-granular
+sublanes instead of the MXU's 128-padded lanes, the same layout win as the
+forward's _fwd_kernel_t (BASELINE.md, "Attention-matmul operand layouts").
 
 Numerics: scores and softmax statistics in float32 regardless of input dtype;
 float32 inputs use exact multi-pass MXU multiplies, bfloat16 the native
@@ -522,6 +527,194 @@ def _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk, kv_len,
     return dq, dk, dv
 
 
+def _bwd_dq_kernel_t(
+    q_ref, k_ref, v_ref, kt_ref, do_ref, lse_ref, di_ref, dqt_ref, acc_scr,
+    *, sm_scale, kv_len, block_k,
+):
+    """Transposed-layout dQ: dQᵀ = Kᵀ·dSᵀ, accumulated over KV tiles.
+
+    The classic dq accumulation ds·K puts head_dim in the output's lane
+    dimension — padded to the MXU's 128-lane minimum at d=40/64 (the same
+    3.2×/2× nominal-FLOP waste the forward's P·V had before _fwd_kernel_t).
+    Here scores are computed as Sᵀ = K·Qᵀ (softmax stats lane-major for
+    free, matching the (BH, 1, Nq) lse/di streams with zero relayout),
+    dPᵀ = V·dOᵀ keeps the contraction in lanes (that padding is a hardware
+    floor either way — see BASELINE.md's layout probe), and the dQ
+    accumulation becomes Kᵀ(d8,bk)·dSᵀ(bk,bq) → (d8,bq): d in 8-granular
+    sublanes, no 128-lane padding. K arrives a second time pre-transposed
+    (an XLA copy over K's bytes, negligible vs the O(N²) kernel).
+    Grid: (BH, n_q, n_k)."""
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    precision = _precision(q.dtype)
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * sm_scale  # (bk, bq) — scores transposed
+    if kv_len % block_k != 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ki * block_k
+        st = jnp.where(row < kv_len, st, NEG_INF)
+    pt = jnp.exp(st - lse_ref[0, 0][None, :])  # (bk, bq)
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (bk, bq)
+    dst = pt * (dpt - di_ref[0, 0][None, :]) * sm_scale
+    kt = kt_ref[0]  # (d8, bk)
+    acc_scr[...] += jax.lax.dot(
+        kt, dst.astype(kt.dtype), preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (d8, bq)
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        dqt_ref[0] = acc_scr[...].astype(dqt_ref.dtype)
+
+
+def _bwd_dkv_kernel_t(
+    q_ref, k_ref, v_ref, qt_ref, do_ref, dot_ref, lse_ref, di_ref,
+    dkt_ref, dvt_ref, dkt_scr, dvt_scr, *, sm_scale,
+):
+    """Transposed-layout dK/dV: dVᵀ = dOᵀ·P, dKᵀ = Qᵀ·dS — both outputs
+    (d8, bk) with head_dim in sublanes instead of 128-padded lanes. Q and
+    dO each arrive twice (standard layout for the lane-contracted Sᵀ/dPᵀ
+    products, pre-transposed (d8, bq) for the accumulations) — ~16% more
+    input bytes at the 4096-token hot shape, repaying >1.3× on two of the
+    four matmuls. Grid: (BH, n_k, n_q) — Q tiles innermost."""
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dkt_scr[...] = jnp.zeros_like(dkt_scr)
+        dvt_scr[...] = jnp.zeros_like(dvt_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    precision = _precision(q.dtype)
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * sm_scale  # (bk, bq)
+    pt = jnp.exp(st - lse_ref[0, 0][None, :])  # (bk, bq)
+    dot_t = dot_ref[0]  # (d8, bq)
+    dvt_scr[...] += jax.lax.dot_general(
+        dot_t, pt.astype(dot_t.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (d8, bk)
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (bk, bq)
+    dst = pt * (dpt - di_ref[0, 0][None, :]) * sm_scale
+    qt = qt_ref[0]  # (d8, bq)
+    dkt_scr[...] += jax.lax.dot_general(
+        qt, dst.astype(qt.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (d8, bk)
+
+    @pl.when(qi == n_q - 1)
+    def _store():
+        dkt_ref[0] = dkt_scr[...].astype(dkt_ref.dtype)
+        dvt_ref[0] = dvt_scr[...].astype(dvt_ref.dtype)
+
+
+def _bwd_impl_t(qf, kf, vf, of, do_f, lse, sm_scale, bq, bk, kv_len, d8):
+    """No-bias backward in the transposed layout. Returns (dQᵀ, dKᵀ, dVᵀ)
+    as (BH, d8, N) — the caller swaps axes back outside the kernels."""
+    bh, nq, dp = qf.shape
+    nk_pad = kf.shape[1]
+    di = jnp.sum(
+        of.astype(jnp.float32) * do_f.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (bh, 1, nq)
+    ktf = jnp.swapaxes(kf, 1, 2)[:, :d8]    # (bh, d8, nk_pad); rows d..d8 are
+    qtf = jnp.swapaxes(qf, 1, 2)[:, :d8]    # the zero padding _prep added
+    dotf = jnp.swapaxes(do_f, 1, 2)[:, :d8]
+
+    dqt = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel_t, sm_scale=sm_scale, kv_len=kv_len, block_k=bk,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, d8, nq), qf.dtype),
+        grid=(bh, nq // bq, nk_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, d8, bk), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, bq, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, d8, bq), lambda b, qi, ki: (b, 0, qi)),
+        scratch_shapes=[pltpu.VMEM((d8, bq), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, ktf, do_f, lse, di)
+
+    dkt, dvt = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_t, sm_scale=sm_scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, d8, nk_pad), kf.dtype),
+            jax.ShapeDtypeStruct((bh, d8, nk_pad), vf.dtype),
+        ),
+        grid=(bh, nk_pad // bk, nq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, d8, bq), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, bq, dp), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, d8, bq), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, ki, qi: (b, 0, qi)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d8, bk), lambda b, ki, qi: (b, 0, ki)),
+            pl.BlockSpec((1, d8, bk), lambda b, ki, qi: (b, 0, ki)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d8, bk), jnp.float32),
+            pltpu.VMEM((d8, bk), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, qtf, do_f, dotf, lse, di)
+    return dqt, dkt, dvt
+
+
+def _use_bwd_t_layout(d: int, nq: int) -> bool:
+    # the backward rides the transposed layout for d <= 64 AND long query
+    # sequences only: measured on v5e (tools/bench_flash_bwd_t.py), fwd+bwd
+    # is 1.11x at the 4096-token shapes (SD 64² d=40, XL res-64 d=64) but
+    # 0.68-0.92x at XL res-32's 1024 tokens and neutral at 2048 — the T
+    # backward's extra operand streams (K, Q, dO each arrive twice) only
+    # repay above ~4k tokens. IEF_FLASH_BWD_T: "0" = off, "1" = force on
+    # (correctness tests at tiny shapes), unset = this auto rule
+    # (IEF_FLASH_T=0 disables both layouts regardless).
+    if not _use_t_layout(d):
+        return False
+    env = os.environ.get("IEF_FLASH_BWD_T")
+    if env is not None:
+        return env != "0"
+    return nq >= 4096
+
+
 # ---------------------------------------------------------------------------
 # public API with custom VJP
 
@@ -556,8 +749,7 @@ def _flash(q, k, v, bias, sm_scale, block_q, block_k, has_bias=True):
     if not has_bias and _use_t_layout(q.shape[-1]):
         # inference primal in the transposed layout: ~1.4x on the P·V
         # matmul at head_dim 40/64 (see _fwd_kernel_t). The differentiable
-        # path (_flash_fwd) keeps the classic layout — the VJP recomputes
-        # probability tiles against the classic lse streams.
+        # path (_flash_fwd/_flash_bwd) rides the same layout end to end.
         qf, kf, vtf, (b, h, nq, nk, d, d8, bq, bk) = _prep_t(
             q, k, v, block_q, block_k
         )
@@ -600,13 +792,22 @@ def _flash_bwd(sm_scale, block_q, block_k, has_bias, res, g):
     qf, kf, vf, biasf, of, lse, (b, h, nq, nk, d, dp, bq, bk) = res
     do = _pad_to(g, 3, dp) if dp != d else g
     do_f = do.reshape(b * h, nq, dp).astype(qf.dtype)
+    # Bias is a mask schedule, not a learned quantity: zero cotangent.
+    dbias = jnp.zeros((b, nk), jnp.float32)
+    if not has_bias and _use_bwd_t_layout(d, nq):
+        d8 = ((d + 7) // 8) * 8
+        dqt, dkt, dvt = _bwd_impl_t(
+            qf, kf, vf, of, do_f, lse, sm_scale, bq, bk, nk, d8
+        )
+        dq = jnp.swapaxes(dqt.reshape(b, h, d8, nq), 2, 3)[..., :d]
+        dk = jnp.swapaxes(dkt.reshape(b, h, d8, -1), 2, 3)[:, :, :nk, :d]
+        dv = jnp.swapaxes(dvt.reshape(b, h, d8, -1), 2, 3)[:, :, :nk, :d]
+        return dq, dk, dv, dbias
     dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk,
                            nk, has_bias)
     dq = dq.reshape(b, h, nq, dp)[..., :d]
     dk = dk.reshape(b, h, -1, dp)[:, :, :nk, :d]
     dv = dv.reshape(b, h, -1, dp)[:, :, :nk, :d]
-    # Bias is a mask schedule, not a learned quantity: zero cotangent.
-    dbias = jnp.zeros((b, nk), jnp.float32)
     return dq, dk, dv, dbias
 
 
@@ -727,6 +928,20 @@ def flash_attention_bwd_block(
     of = (_pad_to(out, 3, dp) if dp != d else out).reshape(b * h, nq, dp)
     do_f = (_pad_to(g, 3, dp) if dp != d else g).reshape(b * h, nq, dp).astype(qf.dtype)
     lse_f = lse.reshape(b * h, 1, nq).astype(jnp.float32)
+    if not has_bias and _use_bwd_t_layout(d, nq):
+        # the ring backward's per-block kernel grads ride the transposed
+        # layout too — with global lse, exp(Sᵀ - lse) is already each key's
+        # true global probability, layout-independent. nq here is the
+        # per-chip local block length, so short CP shards keep the classic
+        # kernels per the same measured threshold.
+        d8 = ((d + 7) // 8) * 8
+        dqt, dkt, dvt = _bwd_impl_t(
+            qf, kf, vf, of, do_f, lse_f, sm_scale, bq, bk, nk, d8
+        )
+        dq = jnp.swapaxes(dqt.reshape(b, h, d8, nq), 2, 3)[..., :d]
+        dk = jnp.swapaxes(dkt.reshape(b, h, d8, -1), 2, 3)[:, :, :nk, :d]
+        dv = jnp.swapaxes(dvt.reshape(b, h, d8, -1), 2, 3)[:, :, :nk, :d]
+        return dq, dk, dv
     dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse_f, sm_scale, bq, bk,
                            nk, has_bias)
     dq = dq.reshape(b, h, nq, dp)[..., :d]

@@ -103,8 +103,9 @@ def test_flash_fwd_lse_transposed_matches_classic():
 
 def test_flash_transposed_layout_under_vmap_and_grad_dispatch():
     """vmapped editing programs wrap flash_attention in vmap; the transposed
-    primal must hold there, and differentiation must still route through the
-    classic custom-VJP path (the T layout has no backward)."""
+    primal must hold there, and differentiation must agree with the oracle
+    (at this short length the VJP's auto rule keeps the classic backward
+    kernels; test_flash_grad.py forces and checks the T backward)."""
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
     q = jax.random.normal(kq, (2, 1, 2, 128, 40), jnp.float32)
     k = jax.random.normal(kk, (2, 1, 2, 128, 40), jnp.float32)

@@ -45,7 +45,18 @@ def main(argv=None) -> int:
     # before any tracing — the flag is read at trace time.
     layout = report.get("flash_layout", "classic")
     os.environ["IEF_FLASH_T"] = "0" if layout == "classic" else "1"
-    print(f"replaying with flash_layout={layout}")
+    # The transposed BACKWARD kernels (round 4, _bwd_impl_t) change gradient
+    # numerics for methods that differentiate through flash (p2z's latent
+    # SGD, NTI's Adam loop). Reports written before the field existed pinned
+    # the classic backward (IEF_FLASH_T=0 replay disables both anyway).
+    # "auto" replays with the var UNSET — the production nq-gated rule —
+    # because forcing "1" would also flip sub-4096-token sites to T.
+    bwd_layout = report.get("flash_bwd_layout", "classic")
+    if bwd_layout == "classic":
+        os.environ["IEF_FLASH_BWD_T"] = "0"
+    else:
+        os.environ.pop("IEF_FLASH_BWD_T", None)
+    print(f"replaying with flash_layout={layout}, flash_bwd_layout={bwd_layout}")
 
     import jax
     import jax.numpy as jnp
