@@ -90,6 +90,12 @@ class PIEPrecomputedInversion(PIE):
         produced by ``save_inversions`` under the default categories (the
         reference skips category 5, p2p/test.py:114) or by a sharded sweep."""
         if required_items is not None:
+            if category is not None:
+                raise ValueError(
+                    "pass either category or required_items, not both — "
+                    "required_items IS the work list (it is not re-filtered "
+                    "by category)"
+                )
             self.data_path = os.path.join(dataset_path, "annotation_images")
             self.items = list(required_items)
         else:

@@ -37,6 +37,16 @@ def _auto_p2p_config(source_prompt: str, target_prompt: str) -> P2PConfig:
     return P2PConfig(edit_type="refine")
 
 
+def _json_safe_metrics(row: dict) -> dict:
+    """Round metric values for the event log, mapping non-finite values to
+    null: a perfect reconstruction yields psnr=inf, which json.dumps would
+    emit as the bare `Infinity` token — valid for Python's lenient loads but
+    rejected by every strict RFC-8259 consumer (jq, JSON.parse)."""
+    return {
+        k: round(v, 5) if np.isfinite(v) else None for k, v in row.items()
+    }
+
+
 def run_sweep(
     pipe,
     method: str,
@@ -155,16 +165,10 @@ def run_sweep(
 
             lpips_fn = LPIPS(lpips_weights)
 
-    def finish(item, src_img, inv_img, edit_img, elapsed):
-        out_dir = os.path.join(exp_path, item.key)
-        save_async(inv_img, os.path.join(out_dir, "inversion.png"))
-        save_async(edit_img, os.path.join(out_dir, "edit.png"))
-        times.append(elapsed)
-        rec = {
-            "key": item.key, "elapsed_s": round(elapsed, 3),
-            "source_prompt": item.source_prompt,
-            "target_prompt": item.target_prompt,
-        }
+    def _metrics_and_log(item, src_img, inv_img, edit_img, rec):
+        # Runs on the worker pool: metric device-compute must not serialize
+        # the edit hot loop (the saves already ride the pool for the same
+        # reason); jax dispatch is thread-safe and list.append is atomic.
         if record_metrics:
             from image_editing_framework_tpu.eval import metrics as qmetrics
 
@@ -187,10 +191,26 @@ def run_sweep(
                     np.asarray(src_img)[None], np.asarray(edit_img)[None]
                 )
             metric_rows.append(row)
-            rec.update({k: round(v, 5) for k, v in row.items()})
-        # per-image observability trail (SURVEY.md §5: the reference has none)
+            rec.update(_json_safe_metrics(row))
+        # per-image observability trail (SURVEY.md §5: the reference has
+        # none). One whole line per open-append-close: lines stay intact
+        # under the pool's interleaving (order may differ from completion).
         with open(event_log, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+    def finish(item, src_img, inv_img, edit_img, elapsed):
+        out_dir = os.path.join(exp_path, item.key)
+        save_async(inv_img, os.path.join(out_dir, "inversion.png"))
+        save_async(edit_img, os.path.join(out_dir, "edit.png"))
+        times.append(elapsed)
+        rec = {
+            "key": item.key, "elapsed_s": round(elapsed, 3),
+            "source_prompt": item.source_prompt,
+            "target_prompt": item.target_prompt,
+        }
+        save_futures.append(
+            pool.submit(_metrics_and_log, item, src_img, inv_img, edit_img, rec)
+        )
 
     try:
         if batch_size > 1:

@@ -37,6 +37,34 @@ def _sha256_png(path: str) -> str:
         return hashlib.sha256(f.read()).hexdigest()
 
 
+def _flash_layout_fields() -> dict:
+    """Flash-kernel operand layouts active for this report, as golden fields.
+
+    flash_layout (ops/flash_attention._use_t_layout): the transposed
+    inference primal changes accumulation order and therefore golden hashes;
+    reports written before the field existed pinned the classic layout
+    (golden_check replays them under IEF_FLASH_T=0).
+
+    flash_bwd_layout (ops/flash_attention._use_bwd_t_layout): changes
+    gradient numerics for p2z/NTI; golden_check replays under the recorded
+    value (missing field = classic, pre-round-4 reports). Tri-state: "auto"
+    = the production default (T kernels at nq >= 4096 sites, classic below);
+    "forced" = IEF_FLASH_BWD_T=1 (T at every site); "classic" = killswitched
+    off everywhere. Recording forced distinctly from auto matters — a forced
+    report replayed under auto would run classic backward kernels at
+    sub-4096-token sites and spuriously fail the golden hashes."""
+    t_off = os.environ.get("IEF_FLASH_T", "1") == "0"
+    bwd = os.environ.get("IEF_FLASH_BWD_T", "")
+    return {
+        "flash_layout": "classic" if t_off else "transposed",
+        "flash_bwd_layout": (
+            "classic" if t_off or bwd == "0"
+            else "forced" if bwd == "1"
+            else "auto"
+        ),
+    }
+
+
 def synth_source_image(seed: int, res: int) -> np.ndarray:
     """Deterministic synthetic photo-ish input (smooth random field) so the
     real-image flow (invert + edit + recon metrics) runs and hashes
@@ -102,26 +130,7 @@ def validate_pipeline(
         # XL p2z rematerializes its reference maps (cli.run_method default);
         # the mode changes compiled-program numerics, so goldens record it.
         "p2z_recompute_refs": pipe.model_type == "xl" and "p2z" in methods,
-        # flash kernel operand layout (ops/flash_attention._use_t_layout):
-        # the transposed inference primal changes accumulation order and
-        # therefore golden hashes; reports written before this field existed
-        # pinned the classic layout (golden_check replays them under
-        # IEF_FLASH_T=0).
-        "flash_layout": (
-            "transposed" if os.environ.get("IEF_FLASH_T", "1") != "0"
-            else "classic"
-        ),
-        # backward-kernel layout (ops/flash_attention._use_bwd_t_layout):
-        # changes gradient numerics for p2z/NTI; golden_check replays under
-        # the recorded value (missing field = classic, pre-round-4 reports).
-        # "auto" = the production default (T kernels at nq >= 4096 sites,
-        # classic below); "classic" = killswitched off everywhere.
-        "flash_bwd_layout": (
-            "auto"
-            if os.environ.get("IEF_FLASH_T", "1") != "0"
-            and os.environ.get("IEF_FLASH_BWD_T", "") != "0"
-            else "classic"
-        ),
+        **_flash_layout_fields(),
         "provenance": provenance or "loaded checkpoint",
         "methods": {},
     }
@@ -246,7 +255,8 @@ def main(argv=None) -> None:
     # headroom); the persistent cache makes any recompile a disk hit. Set
     # here, not only in the tools/ wrapper, so direct module invocation
     # (python -m ...eval.validate, golden_check) gets the same behavior.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+    from ..utils.jax_cache import compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     p = argparse.ArgumentParser("real-weight validation runway")

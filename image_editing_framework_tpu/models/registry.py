@@ -90,6 +90,19 @@ def _weights(directory: str, sub: str, base: str = "diffusion_pytorch_model"):
     return loader.load_sharded_safetensors(d, base)
 
 
+def _tokenizer2_dir(tok_dir: str, root: str, single_file: bool) -> str:
+    """XL second-tower tokenizer directory for a resolved first-tower
+    ``tok_dir``. For single-file checkpoints, swap only the TRAILING
+    directory name (str.replace would also rewrite a "tokenizer" substring
+    elsewhere in the path, e.g. /ckpts/tokenizer-lab/tokenizer) and fall
+    back to the first tower's files when no tokenizer_2/ exists (the two
+    towers share the BPE vocab in most community single-file layouts)."""
+    if single_file:
+        tok2 = os.path.join(os.path.dirname(tok_dir), "tokenizer_2")
+        return tok2 if os.path.isdir(tok2) else tok_dir
+    return os.path.join(root, "tokenizer_2")
+
+
 def _skeleton(module, *args, **kwargs):
     return jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
 
@@ -258,14 +271,9 @@ def load_pipeline(
             loader.clip_key,
             dtype,
         )
-        tok2 = (
-            tok_dir.replace("tokenizer", "tokenizer_2")
-            if single_file
-            else os.path.join(root, "tokenizer_2")
+        pipe.tokenizer_2 = CLIPTokenizer.from_dir(
+            _tokenizer2_dir(tok_dir, root, single_file)
         )
-        if not os.path.isdir(tok2):
-            tok2 = tok_dir if single_file else tok2
-        pipe.tokenizer_2 = CLIPTokenizer.from_dir(tok2)
     if sd_version == "xl-refiner":
         pipe.refiner = load_refiner_pipeline(
             path=refiner_path,

@@ -370,6 +370,16 @@ def _prep_t(q, k, v, block_q, block_k):
     return qf, kf, vtf, (b, h, nq, nk, d, d8, bq, bk)
 
 
+def _untranspose_t(xt, b, h, d, n=None):
+    """Transposed-kernel output (BH, d8, N) -> standard (B, H, n, d).
+
+    Drops the 8-granular head-dim padding; ``n`` additionally slices the
+    sequence axis back to its unpadded length (dK/dV outputs, whose key
+    axis was padded to the block size)."""
+    x = jnp.swapaxes(xt.reshape(b, h, xt.shape[1], -1), 2, 3)[..., :d]
+    return x if n is None else x[:, :, :n]
+
+
 # ---------------------------------------------------------------------------
 # backward
 
@@ -754,7 +764,7 @@ def _flash(q, k, v, bias, sm_scale, block_q, block_k, has_bias=True):
             q, k, v, block_q, block_k
         )
         out_t, _ = _fwd_impl_t(qf, kf, vtf, sm_scale, bq, bk, nk)
-        return jnp.swapaxes(out_t.reshape(b, h, d8, nq), 2, 3)[..., :d]
+        return _untranspose_t(out_t, b, h, d)
     qf, kf, vf, biasf, (b, h, nq, nk, d, dp, bq, bk) = _prep(
         q, k, v, bias, block_q, block_k
     )
@@ -799,9 +809,9 @@ def _flash_bwd(sm_scale, block_q, block_k, has_bias, res, g):
         dqt, dkt, dvt = _bwd_impl_t(
             qf, kf, vf, of, do_f, lse, sm_scale, bq, bk, nk, d8
         )
-        dq = jnp.swapaxes(dqt.reshape(b, h, d8, nq), 2, 3)[..., :d]
-        dk = jnp.swapaxes(dkt.reshape(b, h, d8, -1), 2, 3)[:, :, :nk, :d]
-        dv = jnp.swapaxes(dvt.reshape(b, h, d8, -1), 2, 3)[:, :, :nk, :d]
+        dq = _untranspose_t(dqt, b, h, d)
+        dk = _untranspose_t(dkt, b, h, d, nk)
+        dv = _untranspose_t(dvt, b, h, d, nk)
         return dq, dk, dv, dbias
     dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse, sm_scale, bq, bk,
                            nk, has_bias)
@@ -886,7 +896,7 @@ def flash_attention_fwd_lse(
         )
         out_t, lse = _fwd_impl_t(qf, kf, vtf, sm_scale, bq, bk, nk,
                                  want_lse=True)
-        out = jnp.swapaxes(out_t.reshape(b, h, d8, nq), 2, 3)[..., :d]
+        out = _untranspose_t(out_t, b, h, d)
         return out, lse.reshape(b, h, nq)
     if bias is None:
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
@@ -938,9 +948,9 @@ def flash_attention_bwd_block(
         dqt, dkt, dvt = _bwd_impl_t(
             qf, kf, vf, of, do_f, lse_f, sm_scale, bq, bk, nk, d8
         )
-        dq = jnp.swapaxes(dqt.reshape(b, h, d8, nq), 2, 3)[..., :d]
-        dk = jnp.swapaxes(dkt.reshape(b, h, d8, -1), 2, 3)[:, :, :nk, :d]
-        dv = jnp.swapaxes(dvt.reshape(b, h, d8, -1), 2, 3)[:, :, :nk, :d]
+        dq = _untranspose_t(dqt, b, h, d)
+        dk = _untranspose_t(dkt, b, h, d, nk)
+        dv = _untranspose_t(dvt, b, h, d, nk)
         return dq, dk, dv
     dq, dk, dv = _bwd_impl(qf, kf, vf, biasf, of, do_f, lse_f, sm_scale, bq, bk,
                            nk, has_bias)

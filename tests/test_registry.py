@@ -185,6 +185,27 @@ def test_single_file_without_tokenizer_fails_early_and_clearly(tmp_path, monkeyp
     assert not isinstance(e2.value, FileNotFoundError)
 
 
+def test_tokenizer2_dir_swaps_only_trailing_component(tmp_path):
+    """XL single-file tokenizer_2 resolution must swap only the TRAILING
+    directory name: str.replace("tokenizer", "tokenizer_2") would also
+    rewrite a 'tokenizer' substring elsewhere in the checkpoint path (e.g.
+    /ckpts/tokenizer-lab/...), producing a nonexistent path."""
+    from image_editing_framework_tpu.models.registry import _tokenizer2_dir
+
+    root = tmp_path / "tokenizer-lab"   # adversarial substring in the path
+    (root / "tokenizer").mkdir(parents=True)
+    (root / "tokenizer_2").mkdir()
+    tok_dir = str(root / "tokenizer")
+    assert _tokenizer2_dir(tok_dir, str(root), True) == str(root / "tokenizer_2")
+    # no tokenizer_2/ next to the single file -> fall back to tower 1's files
+    import shutil
+
+    shutil.rmtree(root / "tokenizer_2")
+    assert _tokenizer2_dir(tok_dir, str(root), True) == tok_dir
+    # diffusers-layout checkpoints resolve tokenizer_2 under the root
+    assert _tokenizer2_dir(tok_dir, str(root), False) == str(root / "tokenizer_2")
+
+
 def test_load_refiner_pipeline_standalone(fake_ckpts):
     """Standalone refiner load (no base): towers/vae read from the refiner
     dir itself — requires text_encoder_2/vae/tokenizer_2 alongside unet."""

@@ -91,6 +91,13 @@ def test_precomputed_inversion_cache(mini_pie, tmp_path):
     ds = PIEPrecomputedInversion(mini_pie, inv, category=0)
     latent, uncond = ds.load_inversion(ds[0])
     assert latent.shape == (1, 8, 8, 4) and uncond.shape == (4, 77, 32)
+    # category and required_items are mutually exclusive: required_items IS
+    # the work list and is NOT re-filtered, so passing both would silently
+    # ignore the category — reject the combination instead
+    with pytest.raises(ValueError, match="not both"):
+        PIEPrecomputedInversion(
+            mini_pie, inv, category=0, required_items=data.items
+        )
 
 
 def test_precomputed_inversion_cache_bf16_producer(mini_pie, tmp_path):
@@ -284,11 +291,20 @@ def test_sweep_records_quality_metrics(mini_pie, tmp_path):
     for col in ("recon_mse_mean", "recon_psnr_mean", "recon_ssim_mean"):
         assert col in stats and np.isfinite(stats[col])
     assert -1.0 <= stats["recon_ssim_mean"] <= 1.0
-    rows = [json.loads(l) for l in open(
+    def _reject_const(s):  # Infinity/NaN are not RFC-8259 JSON
+        raise AssertionError(f"non-strict JSON token {s!r} in event log")
+
+    rows = [json.loads(l, parse_constant=_reject_const) for l in open(
         os.path.join(exp, "events_p2p_0.jsonl"))]
     assert len(rows) == 2
     for r in rows:
         assert {"recon_mse", "recon_psnr", "recon_ssim"} <= set(r)
+    # a perfect reconstruction (psnr=inf) must serialize as null, never as
+    # the bare `Infinity` token strict parsers reject
+    from image_editing_framework_tpu.eval.sweep import _json_safe_metrics
+    safe = _json_safe_metrics({"recon_psnr": float("inf"), "recon_mse": 0.0})
+    assert safe == {"recon_psnr": None, "recon_mse": 0.0}
+    json.loads(json.dumps(safe), parse_constant=_reject_const)
     # opt-out for maximum-throughput runs
     stats = run_sweep(
         pipe, "p2p", mini_pie, str(tmp_path / "exp_nometrics"),

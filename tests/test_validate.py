@@ -36,6 +36,27 @@ def test_validate_runway_dry_run(tmp_path):
     # changes accumulation order/hashes, and golden_check replays each
     # report under the layout it recorded
     assert saved["flash_layout"] in ("transposed", "classic")
+    # the backward layout is a TRI-state: "forced" (IEF_FLASH_BWD_T=1) must
+    # be recorded distinctly from "auto", because golden_check replays auto
+    # with the var unset — a forced report replayed as auto would run classic
+    # backward kernels at sub-4096-token sites and spuriously fail hashes
+    assert saved["flash_bwd_layout"] in ("auto", "forced", "classic")
+    import image_editing_framework_tpu.eval.validate as _v
+    env = dict(os.environ)
+    try:
+        os.environ.pop("IEF_FLASH_T", None)
+        os.environ["IEF_FLASH_BWD_T"] = "1"
+        assert _v._flash_layout_fields()["flash_bwd_layout"] == "forced"
+        os.environ["IEF_FLASH_BWD_T"] = "0"
+        assert _v._flash_layout_fields()["flash_bwd_layout"] == "classic"
+        os.environ.pop("IEF_FLASH_BWD_T", None)
+        assert _v._flash_layout_fields()["flash_bwd_layout"] == "auto"
+        os.environ["IEF_FLASH_T"] = "0"
+        assert _v._flash_layout_fields() == {
+            "flash_layout": "classic", "flash_bwd_layout": "classic"}
+    finally:
+        os.environ.clear()
+        os.environ.update(env)
     assert os.path.exists(os.path.join(out, "report.md"))
 
     # determinism: same seed + weights => same hashes

@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+from image_editing_framework_tpu.utils.jax_cache import compilation_cache_dir
+jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 

@@ -135,7 +135,8 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+    from image_editing_framework_tpu.utils.jax_cache import compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from image_editing_framework_tpu.eval.sweep import run_sweep

@@ -50,10 +50,13 @@ def main(argv=None) -> int:
     # SGD, NTI's Adam loop). Reports written before the field existed pinned
     # the classic backward (IEF_FLASH_T=0 replay disables both anyway).
     # "auto" replays with the var UNSET — the production nq-gated rule —
-    # because forcing "1" would also flip sub-4096-token sites to T.
+    # because forcing "1" would also flip sub-4096-token sites to T;
+    # "forced" (report generated under IEF_FLASH_BWD_T=1) replays forced.
     bwd_layout = report.get("flash_bwd_layout", "classic")
     if bwd_layout == "classic":
         os.environ["IEF_FLASH_BWD_T"] = "0"
+    elif bwd_layout == "forced":
+        os.environ["IEF_FLASH_BWD_T"] = "1"
     else:
         os.environ.pop("IEF_FLASH_BWD_T", None)
     print(f"replaying with flash_layout={layout}, flash_bwd_layout={bwd_layout}")
@@ -62,7 +65,8 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     # recompiles of the SD/XL-scale programs are disk-cache hits
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+    from image_editing_framework_tpu.utils.jax_cache import compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from image_editing_framework_tpu.eval.validate import validate_pipeline

@@ -58,6 +58,8 @@ def main() -> None:
     p.add_argument("--inversion_path", type=str, default=None,
                    help="consume precomputed inversions from this cache "
                         "instead of inverting (npz or reference .pt layouts)")
+    p.add_argument("--no-metrics", dest="no_metrics", action="store_true",
+                   help="skip per-image quality metrics (pure-throughput runs)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny_pipeline instead of production shapes (CPU-"
                         "sized; used by tools/concurrent_shard_demo.py)")
@@ -67,7 +69,8 @@ def main() -> None:
 
     # Persistent compilation cache: a killed-and-resumed sweep (or any
     # relaunch) skips the minutes-long SD/XL program compiles.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+    from image_editing_framework_tpu.utils.jax_cache import compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from image_editing_framework_tpu.parallel.mesh import initialize_distributed
@@ -113,6 +116,7 @@ def main() -> None:
         max_items=args.max_items, resolution=args.resolution,
         save_inversions=args.save_inversions,
         inversion_path=args.inversion_path,
+        record_metrics=not args.no_metrics,
         **({"use_flash": use_flash} if use_flash is not None else {}),
     )
     print(f"[process {proc}/{count}] {stats}")

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+from image_editing_framework_tpu.utils.jax_cache import compilation_cache_dir
+jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 from image_editing_framework_tpu.models import configs

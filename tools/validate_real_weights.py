@@ -20,7 +20,8 @@ import jax
 # Persistent compilation cache: validate compiles four methods' SD/XL-scale
 # programs (and clears live executables between methods to bound HBM);
 # repeats and re-runs hit the disk cache instead of recompiling for minutes.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ief_jax_cache")
+from image_editing_framework_tpu.utils.jax_cache import compilation_cache_dir
+jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 from image_editing_framework_tpu.eval.validate import main
