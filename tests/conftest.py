@@ -18,12 +18,13 @@ if not os.environ.get("IEF_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
     # The ambient sitecustomize hooks jax's backend lookup; while the TPU
-    # tunnel is down that hook blocks EVERY jax call (even CPU-pinned), so a
-    # plain `pytest tests/` would hang. Drop the dead backend up front
-    # (no-op when the tunnel is healthy or the hook isn't installed).
-    from __graft_entry__ import _neutralize_dead_tunnel
+    # tunnel is down (or libtpu-mismatched) that hook can block or break
+    # EVERY jax call — even CPU-pinned ones. The CPU suite never needs the
+    # tunneled backend: drop its factory unconditionally (no probe, no
+    # 45-90s subprocess timeout at pytest start when the tunnel is dead).
+    from __graft_entry__ import _pin_cpu_platform
 
-    _neutralize_dead_tunnel()
+    _pin_cpu_platform()
     # The suite is XLA-compile-dominated (tiny models, hundreds of unique
     # programs, often a single host core): trading optimized codegen for
     # compile speed roughly halves suite wall-clock with no measurable
