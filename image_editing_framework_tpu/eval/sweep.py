@@ -144,7 +144,15 @@ def run_sweep(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=8)
+    # Metric tasks (CLIP forward, full-res SSIM convs, LPIPS VGG) run on
+    # their own small executor: on the shared pool, 8 queued metric tasks
+    # could starve the hot loop's PNG prefetch (load_future.result() would
+    # queue behind them, re-serializing the loop) and contend with the
+    # resident UNet for HBM (ADVICE-r4). Two workers bound the in-flight
+    # device-bound metric dispatches while still overlapping with editing.
+    metric_pool = ThreadPoolExecutor(max_workers=2)
     save_futures = []
+    metric_futures = []
 
     def save_async(img, path):
         save_futures.append(pool.submit(save_img, img, path))
@@ -208,8 +216,10 @@ def run_sweep(
             "source_prompt": item.source_prompt,
             "target_prompt": item.target_prompt,
         }
-        save_futures.append(
-            pool.submit(_metrics_and_log, item, src_img, inv_img, edit_img, rec)
+        metric_futures.append(
+            metric_pool.submit(
+                _metrics_and_log, item, src_img, inv_img, edit_img, rec
+            )
         )
 
     try:
@@ -380,9 +390,25 @@ def run_sweep(
                 done += 1
     finally:
         pool.shutdown(wait=True)  # drain workers even on per-image failures
+        metric_pool.shutdown(wait=True)
         pipe.decode_tile_latent = prev_tile
+    # Per-task exception capture (ADVICE-r4): a metric failure on the first
+    # image must not discard the timing stats of a sweep whose edits all
+    # succeeded. Errors are recorded in stats, the stats file is still
+    # written, and THEN save errors re-raise (missing output artifacts =
+    # failed sweep) while metric/log errors only warn.
+    save_errors: list = []
+    metric_errors: list = []
     for fut in save_futures:
-        fut.result()  # surface IO errors before declaring success
+        try:
+            fut.result()
+        except Exception as e:  # noqa: BLE001 — recorded, re-raised below
+            save_errors.append(e)
+    for fut in metric_futures:
+        try:
+            fut.result()
+        except Exception as e:  # noqa: BLE001 — recorded, warned below
+            metric_errors.append(e)
     wall = time.perf_counter() - t_start
     # the first image (serial) / whole first group (batched) includes
     # compile; steady-state stats exclude it
@@ -402,6 +428,12 @@ def run_sweep(
             vals = [r[k] for r in metric_rows if k in r and np.isfinite(r[k])]
             if vals:
                 stats[f"{k}_mean"] = round(float(np.mean(vals)), 5)
+    if metric_errors:
+        stats["metric_errors"] = len(metric_errors)
+        stats["metric_error_first"] = repr(metric_errors[0])
+    if save_errors:
+        stats["save_errors"] = len(save_errors)
+        stats["save_error_first"] = repr(save_errors[0])
     # memory observability for long-run stability evidence (SURVEY.md §5):
     # device HBM peak (TPU runtimes expose memory_stats) + host peak RSS
     try:
@@ -426,4 +458,18 @@ def run_sweep(
     os.makedirs(exp_path, exist_ok=True)
     with open(os.path.join(exp_path, f"sweep_stats_{method}_{shard_index}.json"), "w") as f:
         json.dump(stats, f, indent=2)
+    if metric_errors:
+        import warnings
+
+        warnings.warn(
+            f"{len(metric_errors)} metric/event-log task(s) failed "
+            f"(first: {metric_errors[0]!r}); edits and timing stats are "
+            "intact — see sweep_stats metric_errors fields",
+            stacklevel=2,
+        )
+    if save_errors:
+        raise RuntimeError(
+            f"{len(save_errors)} output save(s) failed — sweep artifacts are "
+            f"incomplete (stats file was still written): {save_errors[0]!r}"
+        ) from save_errors[0]
     return stats

@@ -54,12 +54,18 @@ def _flash_layout_fields() -> dict:
     report replayed under auto would run classic backward kernels at
     sub-4096-token sites and spuriously fail the golden hashes."""
     t_off = os.environ.get("IEF_FLASH_T", "1") == "0"
+    # Mirror the kernel predicate exactly (_use_bwd_t_layout): the var being
+    # SET to anything != "0" forces the T backward — not just "1". A report
+    # generated under e.g. "true" must record "forced", or golden_check would
+    # replay it under auto and run classic backward kernels at sub-4096-token
+    # sites, spuriously failing the hashes (ADVICE-r4).
+    bwd_set = "IEF_FLASH_BWD_T" in os.environ
     bwd = os.environ.get("IEF_FLASH_BWD_T", "")
     return {
         "flash_layout": "classic" if t_off else "transposed",
         "flash_bwd_layout": (
-            "classic" if t_off or bwd == "0"
-            else "forced" if bwd == "1"
+            "classic" if t_off or (bwd_set and bwd == "0")
+            else "forced" if bwd_set
             else "auto"
         ),
     }

@@ -314,6 +314,38 @@ def test_sweep_records_quality_metrics(mini_pie, tmp_path):
     assert "recon_mse_mean" not in stats
 
 
+def test_sweep_metric_failure_keeps_stats(mini_pie, tmp_path, monkeypatch):
+    """A metric-task failure must not discard the timing stats of a sweep
+    whose edits all succeeded (ADVICE-r4): the error is recorded in stats,
+    the stats file is still written, and a warning (not an exception)
+    surfaces it."""
+    from image_editing_framework_tpu.eval import metrics as qmetrics
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic metric failure")
+
+    monkeypatch.setattr(qmetrics, "mse", boom)
+    pipe = tiny_pipeline(num_steps=4)
+    exp = str(tmp_path / "exp_metricfail")
+    with pytest.warns(UserWarning, match="metric/event-log"):
+        stats = run_sweep(
+            pipe, "p2p", mini_pie, exp, inversion_type="ddim",
+            categories=(0,), max_items=2, resolution=32,
+        )
+    assert stats["images_done"] == 2
+    assert stats["metric_errors"] == 2
+    assert "synthetic metric failure" in stats["metric_error_first"]
+    assert stats["mean_s_per_image"] is not None
+    # the stats file reached disk despite the failures
+    with open(os.path.join(exp, "sweep_stats_p2p_0.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk["metric_errors"] == 2
+    # edits themselves are intact
+    done_dirs = sorted(os.listdir(os.path.join(exp, "0_random")))
+    for d in done_dirs:
+        assert os.path.exists(os.path.join(exp, "0_random", d, "edit.png"))
+
+
 @pytest.mark.slow
 def test_sweep_batched_mode(mini_pie, tmp_path):
     pipe = tiny_pipeline(num_steps=4)

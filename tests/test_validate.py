@@ -49,6 +49,13 @@ def test_validate_runway_dry_run(tmp_path):
         assert _v._flash_layout_fields()["flash_bwd_layout"] == "forced"
         os.environ["IEF_FLASH_BWD_T"] = "0"
         assert _v._flash_layout_fields()["flash_bwd_layout"] == "classic"
+        # the kernel predicate forces the T backward for ANY set value != "0"
+        # (_use_bwd_t_layout: env != "0"); the recorder must match or a
+        # report generated under e.g. "true" replays as auto and spuriously
+        # fails golden hashes (ADVICE-r4)
+        for v in ("true", "2", ""):
+            os.environ["IEF_FLASH_BWD_T"] = v
+            assert _v._flash_layout_fields()["flash_bwd_layout"] == "forced", v
         os.environ.pop("IEF_FLASH_BWD_T", None)
         assert _v._flash_layout_fields()["flash_bwd_layout"] == "auto"
         os.environ["IEF_FLASH_T"] = "0"
