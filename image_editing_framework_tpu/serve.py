@@ -34,6 +34,7 @@ import json
 import os
 import time
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
@@ -87,13 +88,37 @@ class EditService:
         os.makedirs(self.results_dir, exist_ok=True)
         self.stats = {"handled": 0, "batched": 0}
         self._parse_failures: dict = {}  # fname -> failed poll count
+        # Host IO rides worker threads so the dispatch thread stays on
+        # device work (VERDICT-r4: the warm service serialized PNG
+        # decode/encode with compute, capping batching at 1.1x):
+        #  - _io_pool prefetches every pending request's PNG decode before
+        #    the first group computes, and runs all PNG encodes;
+        #  - _finalize_pool (a SEPARATE single worker: a finalizer blocks on
+        #    save futures, and waiting inside _io_pool could deadlock behind
+        #    queued saves) writes responses + clears request files, so group
+        #    i's saves/responses overlap group i+1's program.
+        self._io_pool = ThreadPoolExecutor(max_workers=4)
+        self._finalize_pool = ThreadPoolExecutor(max_workers=1)
 
     #: polls a torn request file gets to finish being written before it is
     #: rejected (writers that rename() into place never hit this path)
     PARSE_RETRIES = 3
 
-    def handle(self, name: str, req: dict) -> dict:
+    def handle(
+        self, name: str, req: dict, image_future=None, saves: Optional[list] = None,
+    ) -> dict:
+        """Serve one request. ``image_future`` (optional) is a prefetched PNG
+        decode; ``saves`` (optional) collects async save futures — when given,
+        PNG encodes ride ``_io_pool`` and the caller must drain the futures
+        before answering. Without them the call is fully synchronous (same
+        behavior as before the overlap work)."""
         from image_editing_framework_tpu.cli import invert, run_method
+
+        def _save(img, path):
+            if saves is None:
+                save_img(img, path)
+            else:
+                saves.append(self._io_pool.submit(save_img, img, path))
 
         t0 = time.perf_counter()
         method = req["method"]
@@ -115,8 +140,12 @@ class EditService:
 
         replay = uncond_seq = None
         if req.get("image_path"):
-            image = load_image(req["image_path"], self.res, self.res)
-            save_img(image, os.path.join(out_dir, "source.png"))
+            image = (
+                image_future.result()
+                if image_future is not None
+                else load_image(req["image_path"], self.res, self.res)
+            )
+            _save(image, os.path.join(out_dir, "source.png"))
             latent, traj, uncond_seq = invert(
                 self.pipe, image, prompts[0], inversion_type, method
             )
@@ -132,8 +161,8 @@ class EditService:
             method, self.pipe, prompts, latent, sampler, uncond_seq,
             method_kwargs, source_replay=replay,
         )
-        save_img(inv_img, os.path.join(out_dir, "inversion.png"))
-        save_img(edit_img, os.path.join(out_dir, "edit.png"))
+        _save(inv_img, os.path.join(out_dir, "inversion.png"))
+        _save(edit_img, os.path.join(out_dir, "edit.png"))
         return {
             "status": "ok",
             "outputs": out_dir,
@@ -160,13 +189,27 @@ class EditService:
             return None
         return (req["method"], True, inversion)
 
-    def handle_batch(self, names, reqs) -> dict:
-        """One vmapped program for a group of compatible requests."""
+    def handle_batch(
+        self, names, reqs, image_futures=None, saves: Optional[dict] = None,
+    ) -> dict:
+        """One vmapped program for a group of compatible requests.
+
+        ``image_futures`` maps request name -> prefetched PNG decode;
+        ``saves`` maps name -> list collecting async save futures (see
+        ``handle`` for the sync-vs-async contract)."""
         import numpy as np
 
         from image_editing_framework_tpu.cli import GUIDANCE_SCALE, nti_config_for
         from image_editing_framework_tpu.eval import batched
         from image_editing_framework_tpu.eval.sweep import _auto_p2p_config
+
+        def _save(name, img, path):
+            if saves is None:
+                save_img(img, path)
+            else:
+                saves.setdefault(name, []).append(
+                    self._io_pool.submit(save_img, img, path)
+                )
 
         t0 = time.perf_counter()
         method = reqs[0]["method"]
@@ -180,9 +223,14 @@ class EditService:
         uncond_seqs = source_replays = None
         if has_image:
             lats = []
-            for r, d in zip(reqs, out_dirs):
-                image = load_image(r["image_path"], self.res, self.res)
-                save_img(image, os.path.join(d, "source.png"))
+            for n, r, d in zip(names, reqs, out_dirs):
+                fut = (image_futures or {}).get(n)
+                image = (
+                    fut.result()
+                    if fut is not None
+                    else load_image(r["image_path"], self.res, self.res)
+                )
+                _save(n, image, os.path.join(d, "source.png"))
                 lats.append(self.pipe.image2latent(image))
             lats = jnp.stack(lats)
             latents, trajs = batched.ddim_invert_batch(
@@ -219,8 +267,8 @@ class EditService:
         latency = round(time.perf_counter() - t0, 3)
         responses = {}
         for name, d, pair_imgs in zip(names, out_dirs, np.asarray(imgs)):
-            save_img(pair_imgs[0], os.path.join(d, "inversion.png"))
-            save_img(pair_imgs[1], os.path.join(d, "edit.png"))
+            _save(name, pair_imgs[0], os.path.join(d, "inversion.png"))
+            _save(name, pair_imgs[1], os.path.join(d, "edit.png"))
             responses[name] = {
                 "status": "ok",
                 "outputs": d,
@@ -273,16 +321,49 @@ class EditService:
         for name, path, req in pending:
             groups.setdefault(self._batch_key(req), []).append((name, path, req))
 
+        # Prefetch EVERY pending request's PNG decode now, before the first
+        # group computes — by the time a later chunk needs its source image
+        # the decode is long done, and the dispatch thread never blocks on
+        # host IO between device programs.
+        image_futures = {
+            name: self._io_pool.submit(
+                load_image, req["image_path"], self.res, self.res
+            )
+            for name, _, req in pending
+            if req.get("image_path")
+        }
+
+        def _finalize(chunk, responses, saves):
+            """Wait for this chunk's PNG encodes, then answer + clear the
+            request files. Runs on _finalize_pool so chunk i's IO overlaps
+            chunk i+1's device program. A failed save converts that request's
+            answer into an error response — report, never crash."""
+            for n, path, _ in chunk:
+                for fut in saves.get(n, ()):
+                    try:
+                        fut.result()
+                    except Exception as e:
+                        responses[n] = {
+                            "status": "error",
+                            "error": f"save failed: {type(e).__name__}: {e}",
+                            "traceback": traceback.format_exc(),
+                        }
+                self._respond(n, responses[n])
+                os.remove(path)
+
         handled = 0
+        finalize_futures = []
         for key, items in groups.items():
             while items:
                 chunk = items[: self.max_batch] if key is not None else items[:1]
                 items = items[len(chunk):]
                 names = [n for n, _, _ in chunk]
+                saves: dict = {}
                 if key is not None and len(chunk) > 1:
                     try:
                         responses = self.handle_batch(
-                            names, [r for _, _, r in chunk]
+                            names, [r for _, _, r in chunk],
+                            image_futures=image_futures, saves=saves,
                         )
                     except Exception as e:
                         responses = {
@@ -296,18 +377,29 @@ class EditService:
                 else:
                     responses = {}
                     for n, _, req in chunk:
+                        save_list: list = []
                         try:
-                            responses[n] = self.handle(n, req)
+                            responses[n] = self.handle(
+                                n, req, image_future=image_futures.get(n),
+                                saves=save_list,
+                            )
                         except Exception as e:  # report, never crash
                             responses[n] = {
                                 "status": "error",
                                 "error": f"{type(e).__name__}: {e}",
                                 "traceback": traceback.format_exc(),
                             }
-                for n, path, _ in chunk:
-                    self._respond(n, responses[n])
-                    os.remove(path)
-                    handled += 1
+                        saves[n] = save_list
+                finalize_futures.append(
+                    self._finalize_pool.submit(_finalize, chunk, responses, saves)
+                )
+                handled += len(chunk)
+        # poll_once's contract is "processed when it returns": drain the
+        # finalizers so responses + cleanup are on disk. The overlap win is
+        # WITHIN the poll — chunk i's encodes/responses ran during chunk
+        # i+1's program.
+        for fut in finalize_futures:
+            fut.result()
         self.stats["handled"] += handled
         return handled
 
