@@ -218,6 +218,65 @@ def validate_pipeline(
     return report
 
 
+def validate_refiner(
+    pipe,
+    out_dir: str,
+    source_image: np.ndarray,
+    prompt: str = "a gray horse in the field",
+    strength: float = 0.3,
+    seed: int = 42,
+    resolution: Optional[int] = None,
+    use_flash: Optional[bool] = None,
+    provenance: Optional[str] = None,
+) -> dict:
+    """Golden anchor for the refiner img2img flow (methods/img2img.py).
+
+    The refiner is not an editing pipe — its capability is partial-denoise
+    refinement (the role the reference loads it for but never invokes,
+    p2p/edit_real.py:77-89) — so its golden flow is: refine a deterministic
+    source image at ``strength`` and hash the output, recording structural
+    similarity to the input (a 0.3-strength refinement must stay close)."""
+    from image_editing_framework_tpu.methods.img2img import img2img
+
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    res = resolution or source_image.shape[-3]
+    os.makedirs(out_dir, exist_ok=True)
+    p_src = os.path.join(out_dir, "source.png")
+    save_img(source_image, p_src)
+
+    t0 = time.perf_counter()
+    out = img2img(
+        pipe, source_image, prompt, strength=strength, seed=seed,
+        use_flash=use_flash,
+    )
+    elapsed = round(time.perf_counter() - t0, 3)
+    p_out = os.path.join(out_dir, "refined.png")
+    save_img(out, p_out)
+
+    report = {
+        "flow": "img2img-refine",
+        "seed": seed,
+        "strength": strength,
+        "resolution": res,
+        "num_steps": pipe.scheduler.num_steps,
+        "model_type": "xl-refiner",
+        "backend": jax.default_backend(),
+        "decode_tile_latent": pipe.decode_tile_latent,
+        **_flash_layout_fields(),
+        "provenance": provenance or "loaded checkpoint",
+        "elapsed_s": elapsed,
+        "source_sha256": _sha256_png(p_src),
+        "refined_sha256": _sha256_png(p_out),
+        "refine_mse": metrics.mse(source_image, out),
+        "refine_psnr": metrics.psnr(source_image, out),
+        "refine_ssim": metrics.ssim(source_image, out),
+    }
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
 def _default_kwargs(method: str, pipe, use_flash: bool) -> dict:
     kw = {"use_flash": use_flash}
     if method == "masactrl":
@@ -327,6 +386,29 @@ def main(argv=None) -> None:
         image = synth_source_image(args.seed, res)
     elif args.source_image:
         image = load_image(args.source_image, res, res)
+    if args.sd_version == "xl-refiner":
+        # refiner flow: img2img golden anchor (random_pipeline returns the
+        # refiner pipe directly; the registry attaches it as pipe.refiner
+        # on an XL-base editing pipe)
+        rpipe = pipe if args.random_weights else (pipe.refiner or pipe)
+        if args.decode_tile is None and res >= 1024 and rpipe.decode_tile_latent is None:
+            rpipe.decode_tile_latent = 64
+        report = validate_refiner(
+            rpipe,
+            os.path.join(args.out, args.report_name or args.sd_version),
+            source_image=image if image is not None else synth_source_image(args.seed, res),
+            prompt=args.source_prompt,
+            seed=args.seed,
+            resolution=args.resolution,
+            provenance=(
+                f"random_weights seed={args.seed} (pipelines.random_pipeline)"
+                if args.random_weights
+                else None
+            ),
+        )
+        print(json.dumps({"refined_sha256": report["refined_sha256"],
+                          "refine_ssim": report["refine_ssim"]}, indent=2))
+        return
     report = validate_pipeline(
         pipe,
         os.path.join(args.out, args.report_name or args.sd_version),

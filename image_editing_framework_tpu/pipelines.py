@@ -259,10 +259,12 @@ def random_pipeline(
     from image_editing_framework_tpu.models.tokenizer import WordTokenizer
     from image_editing_framework_tpu.models.vae import VAEConfig
 
+    is_refiner = sd_version == "xl-refiner"
     is_xl = sd_version.startswith("xl")
     is_21 = sd_version.startswith("2")
     unet_cfg = (
-        configs.SDXL_UNET if is_xl else configs.SD21_UNET if is_21
+        configs.SDXL_REFINER_UNET if is_refiner
+        else configs.SDXL_UNET if is_xl else configs.SD21_UNET if is_21
         else configs.SD15_UNET
     )
     unet = UNet2DCondition(unet_cfg, dtype=dtype)
@@ -274,7 +276,7 @@ def random_pipeline(
     added = (
         {
             "text_embeds": jnp.zeros((1, 1280), dtype),
-            "time_ids": jnp.zeros((1, 6), dtype),
+            "time_ids": jnp.zeros((1, 5 if is_refiner else 6), dtype),
         }
         if is_xl
         else None
@@ -292,6 +294,31 @@ def random_pipeline(
 
     tokenizer = WordTokenizer(vocab_size=49408)
     ids = jnp.zeros((1, 77), jnp.int32)
+    if is_refiner:
+        # Single bigG tower carries the full 1280-wide context AND the pooled
+        # embed (reference: the refiner's text_encoder_2-only pipeline,
+        # p2p/edit_real.py:77-89); there is no CLIP-L tower on the refiner.
+        text2 = CLIPTextModel(OPEN_CLIP_BIG_G, dtype=dtype)
+        text2_params = fast_random_params(
+            text2, ids, seed=seed + 3, realistic=True, param_dtype=dtype
+        )
+        pipe = SDPipeline(
+            model_type="xl",
+            unet=unet,
+            unet_params=unet_params,
+            vae=vae,
+            vae_params=vae_params,
+            text_encoder=text2,
+            text_params=text2_params,
+            tokenizer=tokenizer,
+            scheduler=make_ddim_schedule(num_steps),
+            text_encoder_2=text2,
+            text_params_2=text2_params,
+            tokenizer_2=tokenizer,
+            dtype=dtype,
+            is_refiner=True,
+        )
+        return pipe
     if is_xl:
         text = CLIPTextModel(CLIP_VIT_L, dtype=dtype)
         text2 = CLIPTextModel(OPEN_CLIP_BIG_G, dtype=dtype)

@@ -132,6 +132,54 @@ def test_sdxl_unet_full_production_shape_matches_torch_oracle():
 
 
 @pytest.mark.slow
+def test_sdxl_refiner_unet_full_production_shape_matches_torch_oracle():
+    """FULL SDXL-refiner width (2259.5M params): the refiner's distinguishing
+    structure at real scale — 4 levels (384/768/1536/1536) with attention-free
+    outermost AND innermost down blocks, 4-layer transformer stacks at
+    768/1536, bigG-only 1280-dim context, and the 2560 projection input
+    (1280 pooled + 5*256 aesthetic-score time ids) — through the production
+    ``loader.unet_key`` mapping. The reference loads this model
+    (p2p/edit_real.py:77-89) but never invokes it; here it both loads AND
+    drives (see test_img2img_production_refiner / methods/img2img.py)."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracle import ConfigTorchUNet
+
+    cfg = configs.SDXL_REFINER_UNET
+    torch.manual_seed(4)
+    oracle = ConfigTorchUNet(cfg).eval()
+    assert sum(p.numel() for p in oracle.parameters()) == 2_259_526_660
+    ckpt = {k: v.numpy() for k, v in oracle.state_dict().items()}
+
+    m = UNet2DCondition(cfg)
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 32, 32, 4).astype(np.float32)
+    ctx = rng.randn(1, 77, 1280).astype(np.float32)
+    pooled = rng.randn(1, 1280).astype(np.float32)
+    tids = np.array([[1024, 1024, 0, 0, 6.0]], np.float32)
+    t = np.array([421], np.int64)
+    added = {"text_embeds": jnp.asarray(pooled), "time_ids": jnp.asarray(tids)}
+
+    skeleton = jax.eval_shape(
+        lambda: m.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), 0, jnp.asarray(ctx), None, added
+        )
+    )
+    params = loader.load_params(skeleton, ckpt, loader.unet_key)
+    out, _ = m.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), None, added
+    )
+    with torch.no_grad():
+        ref = oracle(
+            torch.tensor(x.transpose(0, 3, 1, 2)),
+            torch.tensor(t),
+            torch.tensor(ctx),
+            torch.tensor(pooled),
+            torch.tensor(tids),
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-3, rtol=3e-3)
+
+
+@pytest.mark.slow
 def test_sd_vae_full_production_shape_matches_torch_oracle():
     """FULL SD VAE width (83.65M params, channels 128/256/512/512): encode
     mean + decode at a production-shaped input through ``loader.vae_key``."""

@@ -118,3 +118,32 @@ def test_realistic_random_params_center_norm_scales():
     # the resulting network is live: output magnitude not collapsed
     out, _ = unet.apply(params, x + 1.0, 10, ctx, None, None, False)
     assert float(jnp.abs(out).max()) > 1e-3
+
+
+def test_validate_refiner_flow(tmp_path):
+    """The refiner img2img golden flow (eval.validate.validate_refiner):
+    hashes + structural metrics for a deterministic partial-denoise
+    refinement — the on-chip anchor for the model the reference loads but
+    never invokes (p2p/edit_real.py:77-89)."""
+    from image_editing_framework_tpu.eval.validate import validate_refiner
+
+    pipe = tiny_pipeline(num_steps=4, model_type="xl-refiner")
+    img = np.random.RandomState(1).randint(0, 255, (32, 32, 3), np.uint8)
+    out = str(tmp_path / "xl-refiner")
+    report = validate_refiner(
+        pipe, out, source_image=img, strength=0.5, seed=7,
+        resolution=32, use_flash=False,
+    )
+    assert len(report["refined_sha256"]) == 64
+    assert np.isfinite(report["refine_mse"])
+    assert report["flow"] == "img2img-refine"
+    assert os.path.exists(os.path.join(out, "refined.png"))
+    with open(os.path.join(out, "report.json")) as f:
+        saved = json.load(f)
+    assert saved["refined_sha256"] == report["refined_sha256"]
+    # determinism: same pipe + seed reproduces the hash
+    report2 = validate_refiner(
+        pipe, str(tmp_path / "again"), source_image=img, strength=0.5,
+        seed=7, resolution=32, use_flash=False,
+    )
+    assert report2["refined_sha256"] == report["refined_sha256"]
