@@ -388,3 +388,44 @@ def nti_batch(pipe, trajectories, prompts, cfg=None, guidance_scale: float = 7.5
         guidance_scale=guidance_scale, added_conds=added_conds,
         use_flash=use_flash,
     )
+
+
+def nti_group_serial(pipe, trajectories, prompts, cfg=None,
+                     guidance_scale: float = 7.5, use_flash: bool = True):
+    """Per-image serial NTI over a batched-invert trajectory stack.
+
+    The vmapped variant (``nti_batch``) iterates every timestep's inner Adam
+    ``while_loop`` until the SLOWEST image in the group converges — vmap
+    runs a while_loop until all lanes stop — so it forfeits the per-image
+    early stop (p2p/inversion/nti.py:32) that gives serial NTI its speed
+    (measured: batch-4 16.83 s/image vs the 11.46 s serial envelope,
+    validation/nti_cache_rehearsal.json). The batched sweep therefore runs
+    DDIM-invert and the edit batched but NTI per image; the serial programs
+    here share the compile cache with the batch_size=1 path (same shapes).
+    """
+    from image_editing_framework_tpu.core.config import NTIConfig
+    from image_editing_framework_tpu.inversion.nti import null_text_inversion
+
+    g = len(prompts)
+    emb, added = pipe.encode_prompts(list(prompts))  # (2G, 77, D)
+    tids = None
+    if pipe.model_type == "xl":
+        h = trajectories.shape[-3] * 8
+        w = trajectories.shape[-2] * 8
+        tids = pipe.add_time_ids(h, w, 1)  # (1, n_ids)
+    out = []
+    for i in range(g):
+        context = jnp.stack([emb[i], emb[g + i]])  # (2, 77, D)
+        added_cond = None
+        if pipe.model_type == "xl":
+            added_cond = {
+                "text_embeds": added["text_embeds"][g + i][None],  # (1, P)
+                "time_ids": tids,
+                "uncond_text_embeds": added["text_embeds"][i][None],
+            }
+        out.append(null_text_inversion(
+            pipe, trajectories[i], context, cfg or NTIConfig(),
+            guidance_scale=guidance_scale, added_cond=added_cond,
+            use_flash=use_flash,
+        ))
+    return jnp.stack(out)

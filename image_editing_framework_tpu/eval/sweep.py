@@ -305,7 +305,11 @@ def run_sweep(
                             nti_config_for,
                         )
 
-                        uncond_seqs = batched.nti_batch(
+                        # serial per image, NOT nti_batch: the vmapped inner
+                        # while_loop runs to the group's slowest convergence
+                        # and loses the per-image early stop (measured 16.83
+                        # vs 11.46 s/image — see batched.nti_group_serial)
+                        uncond_seqs = batched.nti_group_serial(
                             pipe, trajs, src_prompts, nti_config_for(method, pipe),
                             guidance_scale=GUIDANCE_SCALE, use_flash=use_flash,
                         )

@@ -165,6 +165,11 @@ def validate_pipeline(
         entry["syn_edit_sha256"] = _sha256_png(p_edit)
         if clip_score is not None:
             entry["syn_clip_score"] = clip_score(edit_img[None], [target_prompt])
+        # checkpoint the syn hashes before the (often much longer) real flow:
+        # an XL-scale run that dies mid-inversion keeps this method's syn half
+        report["methods"][method] = entry
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
 
         # --- edit_real flow (invert + edit), when an input image is given
         if source_image is not None:

@@ -237,7 +237,10 @@ class EditService:
                 self.pipe, lats, [p[0] for p in pairs], return_trajectory=True
             )
             if inversion == "null-text":
-                uncond_seqs = batched.nti_batch(
+                # serial per image (not nti_batch): the vmapped inner
+                # while_loop loses the per-image early stop — see
+                # batched.nti_group_serial
+                uncond_seqs = batched.nti_group_serial(
                     self.pipe, trajs, [p[0] for p in pairs],
                     nti_config_for(method, self.pipe),
                     guidance_scale=GUIDANCE_SCALE,

@@ -163,6 +163,33 @@ def test_batched_nti_matches_per_image():
 
 
 @pytest.mark.slow
+def test_nti_group_serial_matches_per_image():
+    """The sweep/serve batched path runs NTI serially per image (the vmapped
+    variant loses the early stop); its per-image context/added_cond wiring
+    must match the serial cli path exactly — SD and XL."""
+    from image_editing_framework_tpu.core.config import NTIConfig
+    from image_editing_framework_tpu.eval.batched import nti_group_serial
+    from image_editing_framework_tpu.inversion.nti import null_text_inversion
+
+    cfg = NTIConfig(num_inner_steps=2)
+    for model_type, steps in (("sd", 4), ("xl", 3)):
+        pipe = tiny_pipeline(
+            num_steps=steps, **({"model_type": "xl"} if model_type == "xl" else {})
+        )
+        lats = jax.random.normal(jax.random.PRNGKey(9), (2, 1, 16, 16, 4)) * 0.1
+        prompts = ["a cat", "a dog"]
+        _, trajs = ddim_invert_batch(pipe, lats, prompts, return_trajectory=True)
+        grouped = nti_group_serial(pipe, trajs, prompts, cfg)
+        assert grouped.shape == (2, steps, 77, 32)
+        for i, p in enumerate(prompts):
+            _, traj, ctx, added = ddim_invert(pipe, lats[i], p)
+            single = null_text_inversion(pipe, traj, ctx, cfg, added_cond=added)
+            np.testing.assert_allclose(
+                np.asarray(grouped[i]), np.asarray(single), atol=2e-4
+            )
+
+
+@pytest.mark.slow
 def test_batched_edit_with_nti_seq():
     from image_editing_framework_tpu.core.config import P2PConfig
 
