@@ -88,6 +88,10 @@ class P2ZConfig:
 
     guidance_amount: float = 0.1
     recompute_refs: bool = False
+    # Differentiate through a remat-twin UNet (bitwise-identical grads,
+    # O(depth) activation memory). None = auto: on for XL at latent side
+    # >= 128, where the guided step's saved activations OOM a 16 GB chip.
+    remat_grad: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,3 +105,6 @@ class NTIConfig:
     epsilon: float = 1e-5
     base_lr: float = 1e-2
     lr_decay_span: float = 100.0
+    # Remat-twin UNet for the inner Adam grads (see P2ZConfig.remat_grad).
+    # None = auto: on for XL at latent side >= 128.
+    remat: Optional[bool] = None

@@ -136,6 +136,11 @@ def validate_pipeline(
         # XL p2z rematerializes its reference maps (cli.run_method default);
         # the mode changes compiled-program numerics, so goldens record it.
         "p2z_recompute_refs": pipe.model_type == "xl" and "p2z" in methods,
+        # Gradient programs (p2z guided step, NTI) ride a remat-twin UNet at
+        # XL >= 1024² (methods/common.grad_unet auto rule). Bitwise-identical
+        # grads, so hashes are unaffected; recorded for provenance.
+        "grad_remat": pipe.model_type == "xl" and res >= 1024
+        and ("p2z" in methods or inversion_type == "null-text"),
         **_flash_layout_fields(),
         "provenance": provenance or "loaded checkpoint",
         "methods": {},

@@ -158,11 +158,14 @@ def null_text_inversion_batch(
     """
     import jax
 
+    from image_editing_framework_tpu.methods.common import grad_unet
+
     added_conds, added_unconds = _split_added(added_conds)
+    unet = grad_unet(pipe, trajectories.shape[-3], cfg.remat)
 
     def one(traj, ctx, add, add_u):
         return _nti_scan(
-            pipe.unet,
+            unet,
             pipe.unet_params,
             pipe.scheduler,
             traj,
@@ -200,10 +203,12 @@ def null_text_inversion(
     use_flash: bool = True,
 ) -> jnp.ndarray:
     """Returns per-step optimized uncond embeddings (S, 77, D)."""
+    from image_editing_framework_tpu.methods.common import grad_unet
+
     uncond0, cond = context[:1], context[1:]
     added_cond, added_uncond = _split_added(added_cond)
     return _nti_scan(
-        pipe.unet,
+        grad_unet(pipe, trajectory.shape[-3], cfg.remat),
         pipe.unet_params,
         pipe.scheduler,
         trajectory,

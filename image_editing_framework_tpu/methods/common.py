@@ -7,6 +7,26 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax.numpy as jnp
 
 
+def grad_unet(pipe, latent_side: int, force: Optional[bool] = None):
+    """UNet module to differentiate through at this scale.
+
+    Gradient programs (p2z's guided step, NTI's inner Adam loop) backprop
+    through the full UNet; at XL 1024² (latent side 128) the saved
+    transformer activations alone exceed a 16 GB chip next to the resident
+    bf16 params, so the grad path uses a remat twin (``nn.remat`` on every
+    BasicTransformerBlock — bitwise-identical outputs and gradients,
+    ~O(depth) activation memory for ~30% extra backward FLOPs). Smaller
+    programs keep the plain module: SD-512 NTI fits comfortably and remat
+    would only slow it. ``force`` overrides the auto rule (tests, goldens).
+    """
+    remat = (
+        force
+        if force is not None
+        else pipe.model_type == "xl" and latent_side >= 128
+    )
+    return pipe.unet.clone(remat=True) if remat else pipe.unet
+
+
 def prepare_conditioning(
     pipe, prompts: Sequence[str], height: int, width: int,
     negative_prompt: str = "",

@@ -169,7 +169,7 @@ def p2z_edit(
     if edit_dir is not None:
         ctx_tgt = ctx_tgt + edit_dir
     final = _guided_scan(
-        pipe.unet,
+        common.grad_unet(pipe, latent.shape[1], cfg.remat_grad),
         pipe.unet_params,
         pipe.scheduler,
         latent,
